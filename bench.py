@@ -1,0 +1,73 @@
+"""Benchmark: differentiable-rasterizer fwd+bwd throughput in rays/s.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The north-star metric (BASELINE.json) is rays/s/chip through the full
+differentiable render (forward + backward).  ``vs_baseline`` normalizes
+against the reference CUDA pipeline's implied training throughput on an RTX
+A6000: ~30k iterations in ~55 min at ~1.5 MP (README.md:220 toy-dataset
+timing → ≈ 14e6 rays/s fwd+bwd incl. optimizer overhead); we use 15e6 as a
+slightly generous round figure.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_RAYS_S = 15e6
+
+H, W = 512, 512
+N_GAUSS = 32768
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+    from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+
+    scene = make_toy_scene(seed=0, n=N_GAUSS, n_cameras=1, width=W, height=H)
+    cam = scene.cameras[0]
+    cfg = RasterConfig(max_dup=32, tile_capacity=384)
+    bg = jnp.zeros((3,), jnp.float32)
+    gt = jnp.zeros((3, H, W), jnp.float32)
+
+    def loss_fn(means3d, scales, quats, opacities, sh_coeffs):
+        out = rasterize(means3d, scales, quats, opacities, sh_coeffs, cam,
+                        3, bg, cfg)
+        return jnp.mean(jnp.abs(out["render"] - gt)) + 0.1 * jnp.mean(
+            out["depth"])
+
+    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    args = (scene.means3d, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs)
+
+    for _ in range(WARMUP):
+        g = grad_fn(*args)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = grad_fn(*args)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+
+    rays_s = H * W * ITERS / dt
+    print(json.dumps({
+        "metric": "rasterizer_fwd_bwd_rays_per_s",
+        "value": round(rays_s, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_s / BASELINE_RAYS_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,10 +76,14 @@ def projection_matrix(znear: float, zfar: float, fovx: float, fovy: float,
     return P.astype(np.float32)
 
 
+@jax.tree_util.register_pytree_node_class
 class CameraParams(NamedTuple):
-    """Static per-view parameters consumed by the renderer (a pytree of arrays
-    so it can cross jit boundaries).  The analogue of the reference's
-    ``GaussianRasterizationSettings`` geometry fields."""
+    """Per-view parameters consumed by the renderer — the analogue of the
+    reference's ``GaussianRasterizationSettings`` geometry fields.
+
+    Registered as a custom pytree: the array fields are leaves, while
+    ``height``/``width`` are aux data so they stay **static** under ``jit``
+    (they determine output shapes and the tile grid)."""
 
     viewmatrix: jnp.ndarray      # [4,4] world→camera
     projmatrix: jnp.ndarray      # [4,4] full projection (P @ W2V)
@@ -89,6 +94,13 @@ class CameraParams(NamedTuple):
     focal_y: jnp.ndarray         # scalar, pixels
     height: int                  # static
     width: int                   # static
+
+    def tree_flatten(self):
+        return (tuple(self[:7]), (self.height, self.width))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
 
 
 def make_camera(R: np.ndarray, t: np.ndarray, fovx: float, fovy: float,

@@ -1,0 +1,212 @@
+"""Host-side training loop engine (the train_single/train_coarse skeleton).
+
+Drives the jitted step (``train/step.py``) over a camera stream and applies
+the reference's cadenced side effects (``train_single.py:186-241``):
+
+  - densify+prune every ``densification_interval`` iters within
+    [densify_from_iter, densify_until_iter);
+  - opacity reset every ``opacity_reset_interval``;
+  - big-Gaussian scale clamp each iteration (×0.8 when max scale exceeds
+    ``clamp_fraction · cameras_extent``);
+  - capacity growth: when densification overflows the padded capacity the
+    arrays are grown ×2 on the host (one re-jit), never silently dropped.
+
+The loop is deliberately dumb Python — all math lives in compiled functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, OptimizationConfig, PipelineConfig
+from ..models import adam, densify
+from ..models.gaussians import (GaussianMeta, GaussianParams,
+                                clamp_big_gaussians)
+from .step import CameraBatch, TrainState, make_train_step
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "grad_threshold",
+                                             "min_opacity", "percent_dense"))
+def _densify_jit(key, state: TrainState, meta: GaussianMeta,
+                 grad_threshold: float, min_opacity: float,
+                 extent, percent_dense: float):
+    dstate = densify.DensifyState(state.grad_accum, state.denom,
+                                  state.max_radii2d)
+    res = densify.densify_and_prune(
+        key, state.params, state.active, state.adam_state, dstate, meta,
+        grad_threshold, min_opacity, extent, percent_dense)
+    new_state = state._replace(
+        params=res.params, active=res.active, adam_state=res.adam_state,
+        grad_accum=res.densify_state.grad_accum,
+        denom=res.densify_state.denom,
+        max_radii2d=res.densify_state.max_radii2d)
+    return new_state, res.n_active, res.overflow
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _reset_opacity_jit(state: TrainState, meta: GaussianMeta):
+    return state._replace(params=densify.reset_opacity(state.params, meta))
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "fraction"))
+def _clamp_jit(state: TrainState, meta: GaussianMeta, fraction: float,
+               extent):
+    return state._replace(params=clamp_big_gaussians(
+        state.params, meta, extent, fraction, state.active))
+
+
+def grow_capacity(state: TrainState, meta: GaussianMeta,
+                  new_capacity: int) -> tuple[TrainState, GaussianMeta]:
+    """Pad all capacity-indexed arrays with inactive rows (host-side; causes
+    one re-jit of the step at the new shape)."""
+    old = meta.capacity
+    pad = new_capacity - old
+    if pad <= 0:
+        return state, meta
+
+    def pad_rows(a, fill=0.0):
+        if a.ndim == 0 or a.shape[0] != old:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    def pad_params(p: GaussianParams) -> GaussianParams:
+        out = GaussianParams(*(pad_rows(leaf) for leaf in p))
+        return out._replace(
+            quats=out.quats.at[old:, 0].set(1.0),
+            log_scales=out.log_scales.at[old:].set(-10.0),
+            opacity_raw=out.opacity_raw.at[old:].set(-10.0))
+
+    new_state = state._replace(
+        params=pad_params(state.params),
+        active=pad_rows(state.active, False),
+        adam_state=adam.AdamState(
+            mu=GaussianParams(*(pad_rows(x) for x in state.adam_state.mu)),
+            nu=GaussianParams(*(pad_rows(x) for x in state.adam_state.nu)),
+            step=state.adam_state.step),
+        grad_accum=pad_rows(state.grad_accum),
+        denom=pad_rows(state.denom),
+        max_radii2d=pad_rows(state.max_radii2d))
+    new_meta = dataclasses.replace(meta, capacity=new_capacity)
+    return new_state, new_meta
+
+
+@dataclasses.dataclass
+class LoopHooks:
+    """Optional host callbacks (progress, checkpointing, network GUI)."""
+
+    on_step: Callable | None = None          # (it, state, aux) -> None
+    on_densify: Callable | None = None       # (it, n_active) -> None
+    checkpoint_iterations: tuple = ()
+    on_checkpoint: Callable | None = None    # (it, state, meta) -> None
+
+
+def train_loop(
+    state: TrainState,
+    meta: GaussianMeta,
+    batches: Iterable[CameraBatch],
+    opt: OptimizationConfig,
+    pipe: PipelineConfig,
+    model_cfg: ModelConfig,
+    cameras_extent: float,
+    spatial_lr_scale: float,
+    *,
+    iterations: int | None = None,
+    densify_enabled: bool = True,
+    clamp_fraction: float = 0.02,
+    coarse_mode: bool = False,
+    rng_seed: int = 0,
+    hooks: LoopHooks = LoopHooks(),
+) -> tuple[TrainState, GaussianMeta, dict]:
+    """Run the optimization loop.  ``batches`` yields CameraBatch objects
+    (shuffled camera stream, like the reference's DataLoader over the
+    CameraDataset); the loop stops after ``iterations`` steps."""
+    iterations = iterations or opt.iterations
+    key = jax.random.PRNGKey(rng_seed)
+
+    step_photo = make_train_step(
+        meta, opt, pipe, spatial_lr_scale,
+        is_depth_only=False, use_trained_exp=not coarse_mode,
+        optimize_xyz=not coarse_mode,
+        zero_scaling_grads_for_skybox=coarse_mode,
+        additional_depth_maps_weight=model_cfg.additional_depth_maps_weight)
+    step_depth = None  # built lazily on the first depth-only batch
+
+    stats = {"losses": [], "n_active": [], "overflows": 0}
+    it = 0
+    batch_iter = iter(batches)
+    while it < iterations:
+        try:
+            batch = next(batch_iter)
+        except StopIteration:
+            batch_iter = iter(batches)
+            batch = next(batch_iter)
+        it += 1
+
+        is_depth_only = bool(getattr(batch, "is_depth_only", False))
+        if is_depth_only:
+            if step_depth is None:
+                step_depth = make_train_step(
+                    meta, opt, pipe, spatial_lr_scale, is_depth_only=True,
+                    additional_depth_maps_weight=(
+                        model_cfg.additional_depth_maps_weight))
+            state, aux = step_depth(state, batch)
+        else:
+            state, aux = step_photo(state, batch)
+
+        if hooks.on_step is not None:
+            hooks.on_step(it, state, aux)
+        stats["losses"].append(float(aux["loss"]))
+
+        # --- densification cadence -----------------------------------------
+        if (densify_enabled and it < opt.densify_until_iter
+                and it > opt.densify_from_iter
+                and it % opt.densification_interval == 0):
+            key, sub = jax.random.split(key)
+            state, n_active, overflow = _densify_jit(
+                sub, state, meta, opt.densify_grad_threshold, 0.005,
+                jnp.float32(cameras_extent), opt.percent_dense)
+            if int(overflow) > 0:
+                stats["overflows"] += 1
+                state, meta = grow_capacity(
+                    state, meta, max(meta.capacity * 2,
+                                     meta.capacity + int(overflow)))
+                step_photo = make_train_step(
+                    meta, opt, pipe, spatial_lr_scale,
+                    is_depth_only=False, use_trained_exp=not coarse_mode,
+                    optimize_xyz=not coarse_mode,
+                    zero_scaling_grads_for_skybox=coarse_mode,
+                    additional_depth_maps_weight=(
+                        model_cfg.additional_depth_maps_weight))
+                step_depth = None
+            stats["n_active"].append(int(n_active))
+            if hooks.on_densify is not None:
+                hooks.on_densify(it, int(n_active))
+
+        if (densify_enabled and it < opt.densify_until_iter
+                and it % opt.opacity_reset_interval == 0):
+            state = _reset_opacity_jit(state, meta)
+            # Reference also resets the sparse-Adam moments of opacity rows
+            # implicitly via replace_tensor_to_optimizer (zeroed state).
+            state = state._replace(adam_state=state.adam_state._replace(
+                mu=state.adam_state.mu._replace(
+                    opacity_raw=jnp.zeros_like(
+                        state.adam_state.mu.opacity_raw)),
+                nu=state.adam_state.nu._replace(
+                    opacity_raw=jnp.zeros_like(
+                        state.adam_state.nu.opacity_raw))))
+
+        if not model_cfg.skip_scale_big_gauss:
+            state = _clamp_jit(state, meta,
+                               0.1 if coarse_mode else clamp_fraction,
+                               jnp.float32(cameras_extent))
+
+        if it in hooks.checkpoint_iterations and hooks.on_checkpoint:
+            hooks.on_checkpoint(it, state, meta)
+
+    return state, meta, stats

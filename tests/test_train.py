@@ -1,0 +1,210 @@
+"""End-to-end training-slice tests: model init → jitted step → densify.
+
+This is the minimum viable slice of SURVEY.md §7.2: init from a toy point
+cloud, optimize with the sparse-Adam step against oracle-rendered ground
+truth, and verify PSNR improves; densify/prune and opacity reset run at their
+cadence without shape errors; capacity growth re-jits cleanly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from street_sparse_3dgs_tpu.config import (ModelConfig, OptimizationConfig,
+                                           PipelineConfig)
+from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+from street_sparse_3dgs_tpu.models import adam, densify
+from street_sparse_3dgs_tpu.models.gaussians import (
+    GaussianMeta, GaussianParams, create_from_pcd, pad_to_capacity)
+from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+from street_sparse_3dgs_tpu.train import losses
+from street_sparse_3dgs_tpu.train.loop import grow_capacity, train_loop
+from street_sparse_3dgs_tpu.train.step import (CameraBatch, init_state,
+                                               make_train_step)
+
+W = H = 64
+
+
+def render_gt(scene, cam):
+    out = rasterize(scene.means3d, scene.scales, scene.quats, scene.opacities,
+                    scene.sh_coeffs, cam, 3, jnp.zeros(3),
+                    RasterConfig(method="tiled", tile_capacity=600))
+    return jnp.clip(out["render"], 0.0, 1.0)
+
+
+@pytest.fixture(scope="module")
+def toy():
+    scene = make_toy_scene(seed=3, n=300, n_cameras=4, width=W, height=H)
+    gts = [render_gt(scene, c) for c in scene.cameras]
+    return scene, gts
+
+
+def make_batches(scene, gts):
+    batches = []
+    for i, (cam, gt) in enumerate(zip(scene.cameras, gts)):
+        batches.append(CameraBatch(
+            camera=cam, gt_image=gt,
+            alpha_mask=jnp.ones((1, H, W)),
+            mono_invdepth=jnp.zeros((1, H, W)),
+            depth_mask=jnp.zeros((1, H, W)),
+            depth_reliable=jnp.array(False),
+            image_index=jnp.int32(i)))
+    return batches
+
+
+def init_model(scene, capacity=512, seed=0):
+    key = jax.random.PRNGKey(seed)
+    # Init from perturbed GT positions with mean colors — a realistic SfM-like
+    # starting point for which the GT images are an achievable optimum.
+    pts = np.asarray(scene.means3d) + 0.02 * np.asarray(
+        jax.random.normal(key, scene.means3d.shape))
+    cols = np.clip(np.asarray(scene.sh_coeffs[:, 0, :]) * 0.28 + 0.5, 0, 1)
+    params, active, meta = create_from_pcd(
+        key, pts, cols, sh_degree=3, capacity=capacity)
+    return params, active, meta
+
+
+def test_train_step_improves_psnr(toy):
+    scene, gts = toy
+    params, active, meta = init_model(scene)
+    opt = OptimizationConfig(iterations=200, position_lr_init=2e-4,
+                             position_lr_final=2e-6)
+    pipe = PipelineConfig(tile_capacity=600)
+    state = init_state(params, active, n_images=len(gts))
+    step = make_train_step(meta, opt, pipe, spatial_lr_scale=1.0,
+                           sh_degree_schedule=False)
+    batches = make_batches(scene, gts)
+
+    def psnr_now(state):
+        cfg = RasterConfig(tile_capacity=600)
+        from street_sparse_3dgs_tpu.models.gaussians import (
+            activate_opacity, activate_scales, sh_coeffs)
+        vals = []
+        for cam, gt in zip(scene.cameras, gts):
+            out = rasterize(state.params.xyz, activate_scales(state.params),
+                            state.params.quats,
+                            activate_opacity(state.params, meta),
+                            sh_coeffs(state.params), cam, 3, jnp.zeros(3),
+                            cfg, active_mask=state.active)
+            vals.append(float(losses.psnr(jnp.clip(out["render"], 0, 1), gt)))
+        return sum(vals) / len(vals)
+
+    before = psnr_now(state)
+    for it in range(120):
+        state, aux = step(state, batches[it % len(batches)])
+        assert np.isfinite(float(aux["loss"]))
+    after = psnr_now(state)
+    assert after > before + 1.0, (before, after)
+    # Exposure stays near identity early in training (delayed lr).
+    assert float(jnp.abs(state.exposure[0] - jnp.eye(3, 4)).max()) < 0.05
+
+
+def test_sparse_adam_untouched_rows_frozen(toy):
+    scene, gts = toy
+    params, active, meta = init_model(scene)
+    opt = OptimizationConfig()
+    pipe = PipelineConfig(tile_capacity=600)
+    state = init_state(params, active, n_images=len(gts))
+    step = make_train_step(meta, opt, pipe, spatial_lr_scale=1.0,
+                           sh_degree_schedule=False)
+    state2, _ = step(state, make_batches(scene, gts)[0])
+    # Inactive padding rows must be bit-identical after a step.
+    pad = ~np.asarray(state.active)
+    assert pad.sum() > 0
+    for a, b in zip(state.params, state2.params):
+        np.testing.assert_array_equal(np.asarray(a)[pad], np.asarray(b)[pad])
+    # Their moments too (OurAdam semantics: untouched rows do not decay).
+    for a, b in zip(state.adam_state.mu, state2.adam_state.mu):
+        np.testing.assert_array_equal(np.asarray(a)[pad], np.asarray(b)[pad])
+
+
+def test_densify_and_prune_static_shapes(toy):
+    scene, gts = toy
+    params, active, meta = init_model(scene, capacity=400)
+    state_d = densify.init(400)
+    astate = adam.init(params)
+    # Fake stats that force some clones and splits.
+    key = jax.random.PRNGKey(1)
+    grad = jnp.where(jnp.arange(400) % 7 == 0, 1.0, 0.0)
+    radii = jnp.full((400,), 5.0)
+    state_d = densify.DensifyState(grad, jnp.ones(400), radii)
+    res = densify.densify_and_prune(
+        key, params, active, astate, state_d, meta,
+        grad_threshold=0.01, min_opacity=0.005, extent=1.0,
+        percent_dense=0.05)
+    assert res.params.xyz.shape == (400, 3)
+    n0 = int(jnp.sum(active))
+    assert int(res.n_active) >= n0  # clones/splits net-added (opacity .01<0.15
+    # means gate fails → but opacity>0.15 gate excludes all? init opacity=0.01)
+    assert int(res.overflow) == 0
+
+
+def test_densify_gate_and_split_semantics():
+    # Construct a controlled model: 4 active rows, opacity 0.5.
+    key = jax.random.PRNGKey(0)
+    n, cap = 4, 16
+    params = GaussianParams(
+        xyz=jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3),
+        features_dc=jnp.zeros((n, 1, 3)), features_rest=jnp.zeros((n, 15, 3)),
+        log_scales=jnp.log(jnp.array([[.01] * 3, [.01] * 3, [1.] * 3,
+                                      [1.] * 3])),
+        quats=jnp.tile(jnp.array([1., 0, 0, 0]), (n, 1)),
+        opacity_raw=jnp.full((n, 1), 0.0),  # sigmoid -> 0.5
+    )
+    params, active = pad_to_capacity(params, n, cap)
+    meta = GaussianMeta(sh_degree=3, capacity=cap)
+    dstate = densify.DensifyState(
+        grad_accum=jnp.array([1., 0., 1., 0.] + [0.] * (cap - n)),
+        denom=jnp.ones(cap), max_radii2d=jnp.full((cap,), 10.0))
+    res = densify.densify_and_prune(
+        key, params, active, adam.init(params), dstate, meta,
+        grad_threshold=0.5, min_opacity=0.005, extent=10.0,
+        percent_dense=0.01)
+    # Row 0: small scale (0.01 <= 0.1) + grad -> cloned (stays + copy).
+    # Row 2: big scale (1.0 > 0.1) + grad -> split (removed + 2 children).
+    # Rows 1,3: no grad -> untouched. Total active: 4 - 1 + 1 + 2 = 6.
+    assert int(res.n_active) == 6
+    assert bool(res.active[0]) and bool(res.active[1]) and bool(res.active[3])
+    # The split parent's slot (row 2) is reused by the first new row (the
+    # clone of row 0) — free slots are filled lowest-index first.
+    assert bool(res.active[2])
+    np.testing.assert_allclose(np.asarray(res.params.xyz[2]),
+                               np.asarray(params.xyz[0]), rtol=1e-6)
+    # Split children land in the next free slots (4, 5) with scales ÷ 1.6.
+    assert bool(res.active[4]) and bool(res.active[5])
+    for r in (4, 5):
+        np.testing.assert_allclose(
+            np.exp(np.asarray(res.params.log_scales[r])), 1.0 / 1.6,
+            rtol=1e-5)
+    assert not bool(res.active[6])
+
+
+def test_capacity_growth_preserves_state(toy):
+    scene, gts = toy
+    params, active, meta = init_model(scene, capacity=320)
+    state = init_state(params, active, n_images=len(gts))
+    state2, meta2 = grow_capacity(state, meta, 640)
+    assert meta2.capacity == 640
+    assert state2.params.xyz.shape == (640, 3)
+    assert int(jnp.sum(state2.active)) == int(jnp.sum(state.active))
+    np.testing.assert_array_equal(np.asarray(state2.params.xyz[:320]),
+                                  np.asarray(state.params.xyz))
+
+
+def test_train_loop_with_densify(toy):
+    scene, gts = toy
+    params, active, meta = init_model(scene, capacity=400)
+    opt = OptimizationConfig(
+        iterations=40, densification_interval=10, densify_from_iter=5,
+        densify_until_iter=35, opacity_reset_interval=1000,
+        position_lr_init=2e-4, position_lr_final=2e-6,
+        densify_grad_threshold=1e-4)
+    pipe = PipelineConfig(tile_capacity=600)
+    state = init_state(params, active, n_images=len(gts))
+    state, meta, stats = train_loop(
+        state, meta, make_batches(scene, gts), opt, pipe, ModelConfig(),
+        cameras_extent=3.0, spatial_lr_scale=1.0, clamp_fraction=1.0)
+    assert len(stats["losses"]) == 40
+    assert np.isfinite(stats["losses"]).all()
+    assert len(stats["n_active"]) == 3  # densified at 10, 20, 30
