@@ -1,0 +1,127 @@
+"""Hierarchy post-optimization — the ``train_post.py`` equivalent.
+
+Reference semantics (``train_post.py:31-198``):
+  - per step, a random granularity limit ~ logU[0.005, 0.1] (``:66-74``);
+  - ``expand_to_size`` + ``get_interpolation_weights`` pick the cut;
+  - ``render_post`` lerps child/parent and rasterizes; photometric loss only;
+  - grads flow through the lerp to BOTH child and parent rows;
+  - skybox tail rows (when locked) and anchor nodes get their grads zeroed
+    (``:167-181``);
+  - dense ``torch.optim.Adam`` step (``our_adam=False``, eps 1e-15), exposure
+    pre-trained from the chunk stage (looked up, not optimized).
+
+TPU-first: the cut is the vectorized mask form (``hierarchy/structure.py``)
+so the jitted step has static shapes for every random limit; the dense Adam
+is the masked sparse Adam with an all-rows mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OptimizationConfig, PipelineConfig
+from ..core.schedules import expon_lr
+from ..hierarchy.render import render_cut
+from ..hierarchy.structure import Hierarchy, select_cut
+from ..models import adam
+from ..models.gaussians import GaussianParams, apply_exposure
+from .step import CameraBatch, raster_config
+from . import losses
+
+LIMIT_MIN = 0.005
+LIMIT_MAX = 0.1
+
+
+class PostTrainState(NamedTuple):
+    params: GaussianParams           # hierarchy rows (abs-opacity convention)
+    adam_state: adam.AdamState
+    step: jnp.ndarray
+
+
+def init_post_state(h: Hierarchy) -> PostTrainState:
+    return PostTrainState(params=h.params, adam_state=adam.init(h.params),
+                          step=jnp.int32(0))
+
+
+def random_limit(rng) -> float:
+    """limit = 2^(u·(log2 max − log2 min) + log2 min) (``train_post.py:
+    66-74``); host-side python RNG like the reference's torch.rand."""
+    u = rng.random()
+    return math.pow(2, u * (math.log2(LIMIT_MAX) - math.log2(LIMIT_MIN))
+                    + math.log2(LIMIT_MIN))
+
+
+def make_post_step(
+    h: Hierarchy,
+    opt: OptimizationConfig,
+    pipe: PipelineConfig,
+    *,
+    skybox_locked: bool = True,
+    use_trained_exp: bool = True,
+):
+    """Returns jitted ``(state, batch, limit, exposure_row) -> (state, aux)``.
+    Topology arrays are closed over (they never change during post-opt)."""
+    cfg = raster_config(pipe)
+    n_nodes = h.n_nodes
+    skybox_count = h.skybox_count
+    total = h.n_rows
+    sh_degree = int(math.isqrt(
+        h.params.features_rest.shape[1] + 1)) - 1
+    topo = Hierarchy(params=None, parent=h.parent, child_start=h.child_start,
+                     child_count=h.child_count, box_center=h.box_center,
+                     box_half=h.box_half, size=h.size, anchors=h.anchors,
+                     skybox_count=skybox_count)
+
+    anchor_rows = jnp.concatenate(
+        [h.anchors, jnp.zeros((total - n_nodes,), bool)])
+    if skybox_locked and skybox_count > 0:
+        tail = jnp.arange(total) >= (total - skybox_count)
+        frozen_rows = anchor_rows | tail
+    else:
+        frozen_rows = anchor_rows
+
+    def loss_fn(params, batch: CameraBatch, cut, exposure_row):
+        out = render_cut(params, cut, n_nodes, skybox_count, batch.camera,
+                         sh_degree, jnp.zeros((3,), jnp.float32), cfg)
+        image = out["render"]
+        if use_trained_exp:
+            image = apply_exposure(image, exposure_row)
+        image = jnp.clip(image, 0.0, 1.0)
+        loss = losses.photometric(image * batch.alpha_mask, batch.gt_image,
+                                  opt.lambda_dssim)
+        return loss, image
+
+    @jax.jit
+    def step_fn(state: PostTrainState, batch: CameraBatch, limit,
+                exposure_row):
+        it = state.step + 1
+        cut = select_cut(topo, batch.camera.campos, limit)
+
+        (loss, image), g_params = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, cut, exposure_row)
+
+        g_params = GaussianParams(*(jnp.where(
+            frozen_rows.reshape((-1,) + (1,) * (g.ndim - 1)), 0.0, g)
+            for g in g_params))
+
+        xyz_lr = expon_lr(it, opt.position_lr_init, opt.position_lr_final,
+                          lr_delay_mult=opt.position_lr_delay_mult,
+                          max_steps=opt.position_lr_max_steps)
+        lrs = adam.ParamLrs.from_config(xyz_lr, opt.feature_lr,
+                                        opt.opacity_lr, opt.scaling_lr,
+                                        opt.rotation_lr)
+        # Dense Adam (reference: our_adam=False) == masked Adam, all rows on.
+        all_rows = jnp.ones((total,), bool)
+        new_params, new_adam = adam.step(state.params, g_params,
+                                         state.adam_state, lrs, all_rows)
+        new_state = PostTrainState(params=new_params, adam_state=new_adam,
+                                   step=it)
+        return new_state, {"loss": loss, "image": image,
+                           "n_selected": jnp.sum(cut.selected)}
+
+    return step_fn
