@@ -1,0 +1,1 @@
+from . import colmap, ply, scene, toy  # noqa: F401

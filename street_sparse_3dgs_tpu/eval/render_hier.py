@@ -1,0 +1,108 @@
+"""Hierarchy evaluation driver — the ``render_hierarchy.py`` /
+``render_hierarchy_final.py`` equivalents.
+
+Renders the test (or train) set from a merged hierarchy at the τ sweep
+(default 0/3/6/15 px, reference ``render_hierarchy.py:168``), computing
+PSNR/SSIM/LPIPS + iMAE/iRMSE against alpha-masked ground truth and LiDAR
+inverse depth, with optional per-category and depth-stratified breakdowns
+(``render_hierarchy_final.py``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ModelConfig, PipelineConfig
+from ..data.scene import CameraStream, load_scene_info
+from ..hierarchy.render import render_cut
+from ..hierarchy.structure import Hierarchy, pixel_limit, select_cut
+from ..ops.rasterize import RasterConfig
+from ..train.step import raster_config
+from . import metrics
+
+DEFAULT_TAUS = (0.0, 3.0, 6.0, 15.0)
+
+
+def render_hierarchy_eval(
+    h: Hierarchy,
+    scene_source: str,
+    model_cfg: ModelConfig | None = None,
+    pipe: PipelineConfig | None = None,
+    taus=DEFAULT_TAUS,
+    out_dir: str | Path | None = None,
+    on_train: bool = False,
+    with_lpips: bool = True,
+    with_breakdowns: bool = False,
+    sh_degree: int = 3,
+) -> dict:
+    """Returns {tau: {psnr, ssim, lpips, imae, irmse, ...}} averaged over the
+    evaluated views; optionally writes renders to ``out_dir/renders_tau``."""
+    model_cfg = model_cfg or ModelConfig(eval=True)
+    pipe = pipe or PipelineConfig()
+    cfg = raster_config(pipe)
+    info = load_scene_info(scene_source, model_cfg)
+    cams = info.train_cameras if on_train else info.test_cameras
+    cams = [c for c in cams if not c.is_depth_only]
+    stream = CameraStream(cams, resolution=model_cfg.resolution,
+                          shuffle=False)
+
+    results = {}
+    for tau in taus:
+        rows, weights = [], []
+        band_rows = {name: [] for name, *_ in metrics.DEPTH_RANGES}
+        band_weights = {name: [] for name, *_ in metrics.DEPTH_RANGES}
+        for batch, caminfo in zip(stream, cams):
+            cam = batch.camera
+            limit = pixel_limit(tau, float(cam.tan_fovx), cam.width)
+            cut = select_cut(h, cam.campos, limit)
+            out = render_cut(h.params, cut, h.n_nodes, h.skybox_count, cam,
+                             sh_degree, jnp.zeros(3), cfg)
+            image = np.clip(np.asarray(out["render"]), 0, 1)
+            invdepth = np.asarray(out["depth"])
+            gt = np.asarray(batch.gt_image)
+            mask = np.asarray(batch.alpha_mask)
+            has_depth = bool(batch.depth_reliable)
+            row = metrics.full_metrics(
+                image, gt, mask,
+                pred_invdepth=invdepth if has_depth else None,
+                gt_invdepth=np.asarray(batch.mono_invdepth)
+                if has_depth else None,
+                with_lpips=with_lpips)
+            rows.append(row)
+            weights.append(float(mask.sum()))
+
+            if with_breakdowns and has_depth:
+                bands = metrics.depth_band_masks(
+                    np.asarray(batch.mono_invdepth), mask)
+                for name, bmask in bands.items():
+                    if bmask.sum() < 16:
+                        continue
+                    band_rows[name].append({
+                        "psnr": metrics.psnr_masked(image, gt, bmask),
+                        "ssim": metrics.ssim_masked(image, gt, bmask)})
+                    band_weights[name].append(float(bmask.sum()))
+
+            if out_dir is not None:
+                from PIL import Image
+
+                rdir = Path(out_dir) / f"renders_tau{tau:g}"
+                rdir.mkdir(parents=True, exist_ok=True)
+                stem = caminfo.image_name.rsplit(".", 1)[0]
+                Image.fromarray(
+                    (image.transpose(1, 2, 0) * 255).astype(np.uint8)
+                ).save(rdir / f"{stem}.png")
+
+        agg = metrics.aggregate_pixel_weighted(rows, weights) if rows else {}
+        if with_breakdowns:
+            agg["bands"] = {
+                name: metrics.aggregate_pixel_weighted(band_rows[name],
+                                                       band_weights[name])
+                for name in band_rows if band_rows[name]}
+        results[tau] = agg
+        msg = " ".join(f"{k.upper()}: {v:.5f}" for k, v in agg.items()
+                       if isinstance(v, float))
+        print(f"tau: {tau:g}, {msg}")
+    return results

@@ -79,6 +79,16 @@ def rasterize(
             tiles_chunk=config.tiles_chunk)
         out["dup_overflow"] = bins.dup_overflow
         out["tile_overflow"] = bins.tile_overflow
+    elif config.method == "pallas":
+        from .pallas_blend import blend_tiles_pallas
+
+        bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity)
+        o = bins.order
+        image, invdepth, alpha = blend_tiles_pallas(
+            bins, proj.mean2d[o], proj.conic[o], proj.color[o],
+            proj.opacity[o], proj.inv_depth[o], h, w, bg)
+        out["dup_overflow"] = bins.dup_overflow
+        out["tile_overflow"] = bins.tile_overflow
     else:
         raise ValueError(f"unknown raster method {config.method!r}")
 

@@ -1,0 +1,132 @@
+"""End-to-end pipeline integration: a synthetic 2-chunk street-like project
+through all 5 stages (coarse → per-chunk train → hierarchy → post-opt →
+consolidation) plus the τ-sweep evaluation — the in-miniature version of
+BASELINE configs[4]."""
+
+import math
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from street_sparse_3dgs_tpu.config import (ModelConfig, OptimizationConfig,
+                                           PipelineConfig)
+from street_sparse_3dgs_tpu.data import colmap
+from street_sparse_3dgs_tpu.data.toy import lookat_camera, random_gaussians
+from street_sparse_3dgs_tpu.eval.render_hier import render_hierarchy_eval
+from street_sparse_3dgs_tpu.hierarchy.io import load_hierarchy
+from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+from street_sparse_3dgs_tpu.pipeline.full_train import (ProjectPaths,
+                                                        full_train)
+
+W, H = 64, 48
+
+
+def make_project(tmp_path):
+    """Synthesize a 2-chunk project: a plane of Gaussians along x, cameras
+    orbiting above, GT images rendered by the tiled rasterizer."""
+    from PIL import Image
+
+    key = jax.random.PRNGKey(7)
+    n = 400
+    means, scales, quats, opac, sh = random_gaussians(key, n, sh_degree=3,
+                                                      extent=2.0)
+    # Flatten to a street-like slab along x.
+    means = means.at[:, 2].multiply(0.2)
+
+    cam_infos = []
+    cameras = {1: colmap.ColmapCamera(
+        1, "PINHOLE", W, H, np.array(
+            [W / (2 * math.tan(0.5)), H / (2 * math.tan(0.4)),
+             W / 2, H / 2]))}
+    images = {}
+    proj = ProjectPaths(tmp_path)
+    img_dir = proj.images_dir
+    img_dir.mkdir(parents=True)
+    for i in range(8):
+        ang = 2 * math.pi * i / 8
+        pos = np.array([2.2 * math.cos(ang), 2.2 * math.sin(ang), 1.4])
+        cam = lookat_camera(pos, np.zeros(3), W, H)
+        out = rasterize(means, scales, quats, opac, sh, cam, 3,
+                        jnp.zeros(3), RasterConfig(tile_capacity=512))
+        img = np.clip(np.asarray(out["render"]).transpose(1, 2, 0), 0, 1)
+        name = f"view{i:03d}.png"
+        Image.fromarray((img * 255).astype(np.uint8)).save(img_dir / name)
+        # Recover colmap extrinsics from the camera: viewmatrix = w2c.
+        w2c = np.asarray(cam.viewmatrix)
+        qvec = colmap.rotmat2qvec(w2c[:3, :3])
+        images[i + 1] = colmap.ColmapImage(
+            i + 1, qvec, w2c[:3, 3], 1, name, np.zeros((0, 2)),
+            np.zeros(0, np.int64))
+        cam_infos.append(cam)
+
+    rng = np.random.default_rng(0)
+    pts = colmap.ColmapPoints(
+        xyz=np.asarray(means, np.float64)
+        + 0.01 * rng.normal(size=(n, 3)),
+        rgb=np.clip((np.asarray(sh[:, 0]) * 0.28 + 0.5) * 255, 0,
+                    255).astype(np.uint8),
+        error=np.zeros(n), ids=np.arange(n, dtype=np.int64))
+
+    aligned = proj.colmap_dir / "sparse" / "0"
+    colmap.write_model(cameras, images, pts, aligned)
+    (aligned / "test.txt").write_text("view000.png\n")
+
+    # Two chunks split at x = 0, all cameras in both (toy scale).
+    for ci, (lo, hi) in enumerate(((-10, 0), (0, 10))):
+        cdir = proj.chunks_dir / f"{ci}_0"
+        sparse = cdir / "sparse" / "0"
+        m = (pts.xyz[:, 0] >= lo) & (pts.xyz[:, 0] < hi)
+        cpts = colmap.ColmapPoints(
+            xyz=pts.xyz[m], rgb=pts.rgb[m], error=pts.error[m],
+            ids=np.arange(int(m.sum()), dtype=np.int64))
+        colmap.write_model(cameras, images, cpts, sparse)
+        (sparse / "test.txt").write_text("view000.png\n")
+        cx = (lo + hi) / 2 if abs(lo) < 5 and abs(hi) < 5 else np.clip(
+            (lo + hi) / 2, -2, 2)
+        (cdir / "center.txt").write_text(f"{cx} 0.0 0.0\n")
+        (cdir / "extent.txt").write_text("2.0 2.0 2.0\n")
+    return proj
+
+
+@pytest.mark.slow
+def test_full_train_pipeline(tmp_path):
+    proj = make_project(tmp_path)
+    opt = OptimizationConfig(
+        iterations=60, densification_interval=20, densify_from_iter=10,
+        densify_until_iter=50, opacity_reset_interval=10_000,
+        position_lr_init=2e-4, position_lr_final=2e-6,
+        densify_grad_threshold=0.05)
+    pipe = PipelineConfig(tile_capacity=512)
+    model = ModelConfig(eval=True, resolution=1)
+
+    merged = full_train(proj.project_dir, model, opt, pipe,
+                        skip_if_exists=True, coarse_iterations=40,
+                        chunk_iterations=60, post_iterations=25,
+                        skybox_num=500)
+    assert merged is not None
+    # Artifacts all exist.
+    assert (proj.scaffold_dir / "point_cloud").exists()
+    for name in ("0_0", "1_0"):
+        assert (proj.trained_chunks_dir / name
+                / "hierarchy.hier_opt.npz").exists()
+    assert (proj.output_dir / "merged.hier.npz").exists()
+
+    # Evaluate the merged hierarchy on the held-out view.
+    h = load_hierarchy(proj.output_dir / "merged.hier.npz")
+    assert h.skybox_count > 0
+    results = render_hierarchy_eval(
+        h, str(proj.colmap_dir), ModelConfig(
+            eval=True, resolution=1, images=str(proj.images_dir)),
+        pipe, taus=(0.0, 6.0), with_lpips=False)
+    # Convergence quality needs the full iteration budget (the reference
+    # trains 30k/chunk); this integration test checks the plumbing: finite
+    # metrics and a non-degenerate render at every tau.
+    for tau, row in results.items():
+        assert np.isfinite(row["psnr"]) and row["psnr"] > 5.0, (tau, row)
+        assert 0.0 <= row["ssim"] <= 1.0
+
+    # Idempotence: a second run skips everything.
+    merged2 = full_train(proj.project_dir, model, opt, pipe,
+                         skip_if_exists=True, skybox_num=500)
+    assert merged2 is not None

@@ -1,0 +1,103 @@
+"""Checkpoint/stage-artifact roundtrips and eval metric sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+from street_sparse_3dgs_tpu.eval import metrics
+from street_sparse_3dgs_tpu.models.gaussians import create_from_pcd
+from street_sparse_3dgs_tpu.models.serialize import (load_checkpoint,
+                                                     load_scene_ply,
+                                                     save_checkpoint,
+                                                     save_scene)
+from street_sparse_3dgs_tpu.train.step import init_state
+
+
+@pytest.fixture()
+def state_meta():
+    key = jax.random.PRNGKey(0)
+    scene = make_toy_scene(seed=1, n=100, n_cameras=2)
+    params, active, meta = create_from_pcd(
+        key, np.asarray(scene.means3d), np.full((100, 3), 0.5), capacity=128)
+    return init_state(params, active, n_images=2), meta
+
+
+def test_checkpoint_roundtrip(tmp_path, state_meta):
+    state, meta = state_meta
+    state = state._replace(step=jnp.int32(42))
+    save_checkpoint(tmp_path / "chkpnt.npz", state, meta, 42)
+    state2, meta2, it = load_checkpoint(tmp_path / "chkpnt.npz")
+    assert it == 42 and meta2 == meta
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scene_artifacts_roundtrip(tmp_path, state_meta):
+    state, meta = state_meta
+    out = save_scene(tmp_path, 100, state, meta, ["a.png", "b.png"])
+    assert (out / "point_cloud.ply").exists()
+    assert (tmp_path / "exposure.json").exists()
+    params, skybox = load_scene_ply(out)
+    assert skybox == meta.skybox_points
+    n_active = int(jnp.sum(state.active))
+    assert params.xyz.shape == (n_active, 3)
+    np.testing.assert_allclose(np.asarray(params.xyz),
+                               np.asarray(state.params.xyz[:n_active]),
+                               atol=1e-6)
+
+
+def test_metrics_basic():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(3, 32, 32)).astype(np.float32)
+    assert metrics.psnr(img, img) > 60
+    assert metrics.ssim(img, img) == pytest.approx(1.0, abs=1e-5)
+    noisy = np.clip(img + 0.1 * rng.normal(size=img.shape), 0, 1) \
+        .astype(np.float32)
+    assert metrics.psnr(img, noisy) < metrics.psnr(img, img)
+    mask = np.zeros((1, 32, 32), np.float32)
+    mask[:, :16] = 1.0
+    half_noisy = img.copy()
+    half_noisy[:, 16:] = 0.0  # corrupt only the masked-out half
+    assert metrics.psnr_masked(img, half_noisy, mask) > 60
+
+
+def test_inverse_depth_errors():
+    pred = np.full((1, 8, 8), 0.5, np.float32)
+    gt = np.full((1, 8, 8), 0.3, np.float32)
+    mask = np.ones((1, 8, 8), bool)
+    imae, irmse = metrics.inverse_depth_errors(pred, gt, mask)
+    assert imae == pytest.approx(0.2, abs=1e-6)
+    assert irmse == pytest.approx(0.2, abs=1e-6)
+    # Half-masked: same values (errors uniform).
+    mask[:, :, 4:] = False
+    imae2, _ = metrics.inverse_depth_errors(pred, gt, mask)
+    assert imae2 == pytest.approx(0.2, abs=1e-6)
+
+
+def test_depth_bands():
+    inv = np.zeros((1, 4, 4), np.float32)
+    inv[0, 0] = 1.0 / 2.0     # near (2 m)
+    inv[0, 1] = 1.0 / 10.0    # medium
+    inv[0, 2] = 1.0 / 50.0    # far
+    bands = metrics.depth_band_masks(inv)
+    assert bands["near"][0, 0].all() and not bands["near"][0, 1].any()
+    assert bands["medium"][0, 1].all()
+    assert bands["far"][0, 2].all()
+    assert not bands["far"][0, 3].any()  # invalid (invdepth 0) excluded
+
+
+def test_category_masks():
+    seg = np.zeros((3, 4, 4), np.float32)
+    sky_rgb = [0x87 / 255, 0xCE / 255, 0xEB / 255]
+    for c in range(3):
+        seg[c, :2] = sky_rgb[c]
+    masks = metrics.category_masks(seg, {"sky": "#87CEEB"})
+    assert masks["sky"][0, :2].all() and not masks["sky"][0, 2:].any()
+
+
+def test_aggregate_pixel_weighted():
+    rows = [{"psnr": 10.0}, {"psnr": 20.0}]
+    out = metrics.aggregate_pixel_weighted(rows, [1.0, 3.0])
+    assert out["psnr"] == pytest.approx(17.5)
