@@ -101,12 +101,20 @@ def train_single(argv):
         scaffold_skybox_points=scaffold_skybox, chunk_center=center,
         chunk_extent=extent, skybox_locked=model.skybox_locked,
         capacity=None)
+    gt_index = None
+    gt_ply = Path(model.source_path) / "chunk.ply"
+    if model.gt_point_cloud_constraints and gt_ply.exists():
+        from .data.ply import fetch_point_cloud
+        from .models.gt_constraint import build_index
+
+        gt_xyz, _ = fetch_point_cloud(gt_ply)
+        gt_index = build_index(gt_xyz, model.constraint_treshold)
     state = init_state(params, active, len(info.train_cameras))
     stream = CameraStream(info.train_cameras, model.resolution, args.seed)
     state, meta, stats = train_loop(
         state, meta, stream, opt, pipe, model,
         cameras_extent=info.nerf_radius, spatial_lr_scale=info.nerf_radius,
-        densify_enabled=True, rng_seed=args.seed)
+        densify_enabled=True, rng_seed=args.seed, gt_index=gt_index)
     save_scene(model.model_path, opt.iterations, state, meta,
                [c.image_name for c in info.train_cameras])
     cfg_mod.save_cfg_args(model.model_path, model, pipe, opt)

@@ -181,6 +181,10 @@ def write_images_binary(images: dict[int, ColmapImage], path) -> None:
                                 im.camera_id))
             f.write(im.name.encode("utf-8") + b"\x00")
             npts = im.xys.shape[0]
+            if npts != im.point3D_ids.shape[0]:
+                raise ValueError(
+                    f"image {im.name}: xys ({npts}) and point3D_ids "
+                    f"({im.point3D_ids.shape[0]}) length mismatch")
             f.write(struct.pack("<Q", npts))
             data = np.empty((npts, 3), np.float64)
             data[:, :2] = im.xys

@@ -81,6 +81,7 @@ def densify_and_prune(
     min_opacity: float,
     extent: float,
     percent_dense: float = 0.01,
+    extra_prune: jnp.ndarray | None = None,
 ) -> DensifyResult:
     capacity = params.xyz.shape[0]
     rows = jnp.arange(capacity)
@@ -95,9 +96,19 @@ def densify_and_prune(
                                                   0.2) >= grad_threshold)
     gate = gate & (opacity > 0.15) & active & not_frozen
 
+    prune_mask = (opacity < min_opacity) & active & not_frozen
+    if extra_prune is not None:
+        # GT-point-cloud constraint (``compare_points_to_gt``): rows too far
+        # from the LiDAR/SfM cloud are pruned and excluded from cloning, so
+        # no copy of a too-far point survives the round (the reference prunes
+        # both parent and clone; split children are protected for one round
+        # by construction here — they do not exist yet when the mask is
+        # computed on the pre-densify rows).
+        prune_mask = prune_mask | (extra_prune & active & not_frozen)
+        gate = gate & ~extra_prune
+
     clone_mask = gate & (max_scale <= percent_dense * extent)
     split_mask = gate & (max_scale > percent_dense * extent)
-    prune_mask = (opacity < min_opacity) & active & not_frozen
 
     # Rows that survive this round in place.
     survive = active & ~split_mask & ~prune_mask

@@ -146,6 +146,17 @@ def train_chunk_stage(paths: ProjectPaths, chunk_name: str,
         capacity=_round_up(2 * (info.points.shape[0]
                                 + scaffold.xyz.shape[0])),
         skybox_locked=True)
+    # GT-point-cloud constraint: the reference loads <chunk>/chunk.ply into
+    # a FAISS index (``train_single.py:34-36``); here a voxel-hash index.
+    gt_index = None
+    gt_ply = Path(cfg.source_path) / "chunk.ply"
+    if cfg.gt_point_cloud_constraints and gt_ply.exists():
+        from ..data.ply import fetch_point_cloud
+        from ..models.gt_constraint import build_index
+
+        gt_xyz, _ = fetch_point_cloud(gt_ply)
+        gt_index = build_index(gt_xyz, cfg.constraint_treshold)
+
     state = init_state(params, active, n_images=len(info.train_cameras))
     stream = CameraStream(info.train_cameras, resolution=cfg.resolution,
                           seed=seed)
@@ -153,7 +164,7 @@ def train_chunk_stage(paths: ProjectPaths, chunk_name: str,
         state, meta, stream, opt, pipe, cfg,
         cameras_extent=info.nerf_radius, spatial_lr_scale=info.nerf_radius,
         iterations=iterations or opt.iterations, densify_enabled=True,
-        rng_seed=seed)
+        rng_seed=seed, gt_index=gt_index)
     out = paths.trained_chunks_dir / chunk_name
     it = iterations or opt.iterations
     save_scene(out, it, state, meta,

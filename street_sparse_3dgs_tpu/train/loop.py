@@ -34,12 +34,13 @@ from .step import CameraBatch, TrainState, make_train_step
                                              "min_opacity", "percent_dense"))
 def _densify_jit(key, state: TrainState, meta: GaussianMeta,
                  grad_threshold: float, min_opacity: float,
-                 extent, percent_dense: float):
+                 extent, percent_dense: float, extra_prune=None):
     dstate = densify.DensifyState(state.grad_accum, state.denom,
                                   state.max_radii2d)
     res = densify.densify_and_prune(
         key, state.params, state.active, state.adam_state, dstate, meta,
-        grad_threshold, min_opacity, extent, percent_dense)
+        grad_threshold, min_opacity, extent, percent_dense,
+        extra_prune=extra_prune)
     new_state = state._replace(
         params=res.params, active=res.active, adam_state=res.adam_state,
         grad_accum=res.densify_state.grad_accum,
@@ -122,6 +123,7 @@ def train_loop(
     coarse_mode: bool = False,
     rng_seed: int = 0,
     hooks: LoopHooks = LoopHooks(),
+    gt_index=None,
 ) -> tuple[TrainState, GaussianMeta, dict]:
     """Run the optimization loop.  ``batches`` yields CameraBatch objects
     (shuffled camera stream, like the reference's DataLoader over the
@@ -168,9 +170,16 @@ def train_loop(
                 and it > opt.densify_from_iter
                 and it % opt.densification_interval == 0):
             key, sub = jax.random.split(key)
+            extra_prune = None
+            if gt_index is not None:
+                from ..models.gt_constraint import too_far_mask
+
+                extra_prune = too_far_mask(gt_index, state.params.xyz,
+                                           state.active)
             state, n_active, overflow = _densify_jit(
                 sub, state, meta, opt.densify_grad_threshold, 0.005,
-                jnp.float32(cameras_extent), opt.percent_dense)
+                jnp.float32(cameras_extent), opt.percent_dense,
+                extra_prune)
             if int(overflow) > 0:
                 stats["overflows"] += 1
                 state, meta = grow_capacity(

@@ -208,3 +208,56 @@ def test_train_loop_with_densify(toy):
     assert len(stats["losses"]) == 40
     assert np.isfinite(stats["losses"]).all()
     assert len(stats["n_active"]) == 3  # densified at 10, 20, 30
+
+
+def test_gt_constraint_prunes_far_points():
+    """compare_points_to_gt semantics: active rows inside the GT x/y bounds
+    with no GT point within the threshold are pruned; near rows and rows
+    outside the bounds survive."""
+    import numpy as np
+    from street_sparse_3dgs_tpu.models import gt_constraint
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+    index = gt_constraint.build_index(gt, threshold=0.3)
+
+    near = gt[:10] + 0.01            # within threshold of a GT point
+    far = np.full((5, 3), 0.0, np.float32)
+    far[:, 2] = 50.0                 # inside x/y bounds but far in z
+    outside = np.full((5, 3), 10.0, np.float32)   # outside x/y bounds
+    xyz = jnp.asarray(np.concatenate([near, far, outside]))
+    active = jnp.ones(20, bool)
+    mask = gt_constraint.too_far_mask(index, xyz, active, chunk=8)
+    m = np.asarray(mask)
+    assert not m[:10].any()          # near points kept
+    assert m[10:15].all()            # far-in-bounds pruned
+    assert not m[15:].any()          # outside bounds untouched
+
+    # Integration with densify: far rows deactivate, clones of far rows do
+    # not appear.
+    from street_sparse_3dgs_tpu.models import adam, densify
+    from street_sparse_3dgs_tpu.models.gaussians import GaussianMeta
+
+    cap = 32
+    params = GaussianParams(
+        xyz=jnp.zeros((cap, 3)).at[:20].set(xyz),
+        features_dc=jnp.zeros((cap, 1, 3)),
+        features_rest=jnp.zeros((cap, 15, 3)),
+        log_scales=jnp.full((cap, 3), -3.0),
+        quats=jnp.zeros((cap, 4)).at[:, 0].set(1.0),
+        opacity_raw=jnp.full((cap, 1), 2.0))   # opacity ~0.88
+    active_full = jnp.arange(cap) < 20
+    meta = GaussianMeta(sh_degree=3, capacity=cap)
+    dstate = densify.DensifyState(jnp.ones(cap), jnp.ones(cap),
+                                  jnp.full((cap,), 10.0))
+    extra = jnp.zeros(cap, bool).at[:20].set(mask)
+    res = densify.densify_and_prune(
+        jax.random.PRNGKey(0), params, active_full, adam.init(params),
+        dstate, meta, grad_threshold=0.01, min_opacity=0.005, extent=100.0,
+        percent_dense=0.01, extra_prune=extra)
+    # 15 surviving originals, each cloned (gate passes) -> 30 active.
+    assert int(res.n_active) == 30
+    # No surviving row sits at a far position (neither original nor clone).
+    live_xyz = np.asarray(res.params.xyz)[np.asarray(res.active)]
+    for f in far:
+        assert not np.any(np.all(np.abs(live_xyz - f) < 1e-5, axis=-1))
