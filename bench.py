@@ -36,7 +36,7 @@ def main() -> None:
 
     scene = make_toy_scene(seed=0, n=N_GAUSS, n_cameras=1, width=W, height=H)
     cam = scene.cameras[0]
-    cfg = RasterConfig(max_dup=32, tile_capacity=384)
+    cfg = RasterConfig(method="pallas", max_dup=32, tile_capacity=384)
     bg = jnp.zeros((3,), jnp.float32)
     gt = jnp.zeros((3, H, W), jnp.float32)
 

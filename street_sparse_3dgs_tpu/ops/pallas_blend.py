@@ -65,10 +65,13 @@ def _tri(strict_greater: bool) -> jnp.ndarray:
         jnp.float32)
 
 
-def _pixel_coords(tiles_x: int):
+def _pixel_coords(tiles_x: int, tile0_ref):
     """Tile-absolute pixel coordinates as [P,1] columns, origin from the
-    grid position (tiles_x closed over statically)."""
-    t = pl.program_id(0)
+    grid position (tiles_x closed over statically).  ``tile0_ref`` holds the
+    shard's first global tile id — nonzero under tile-sharded rendering
+    (``parallel/tiles.py``), where each device blends a contiguous slab of
+    the framebuffer's tiles."""
+    t = pl.program_id(0) + tile0_ref[0, 0]
     ox = ((t % tiles_x) * TILE).astype(jnp.float32)
     oy = ((t // tiles_x) * TILE).astype(jnp.float32)
     idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
@@ -91,10 +94,10 @@ def _alpha_block(attrs_ref, sl, px, py):
 
 
 def _make_fwd_kernel(tiles_x: int):
-    def kernel(attrs_ref, bg_ref, out_ref):
+    def kernel(tile0_ref, attrs_ref, bg_ref, out_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
-        px, py = _pixel_coords(tiles_x)
+        px, py = _pixel_coords(tiles_x, tile0_ref)
         tri = _tri(False)
 
         def body(kb, carry):
@@ -145,10 +148,10 @@ def _make_fwd_kernel(tiles_x: int):
 
 
 def _make_bwd_kernel(tiles_x: int):
-    def kernel(attrs_ref, bg_ref, saved_ref, g_ref, d_ref):
+    def kernel(tile0_ref, attrs_ref, bg_ref, saved_ref, g_ref, d_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
-        px, py = _pixel_coords(tiles_x)
+        px, py = _pixel_coords(tiles_x, tile0_ref)
         tri_suf = _tri(True)
 
         row = lambda ref, i: ref[0, i, :][:, None]     # [P, 1]
@@ -238,50 +241,52 @@ def _interpret_default() -> bool:
 
 
 def _specs(k_cap):
+    tile0_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
     attrs_spec = pl.BlockSpec((1, N_CH, k_cap), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, N_OUT, P), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    return attrs_spec, bg_spec, out_spec
+    return tile0_spec, attrs_spec, bg_spec, out_spec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _blend_packed(interpret, tiles_x, attrs, bg):
-    out, _ = _blend_packed_fwd(interpret, tiles_x, attrs, bg)
+def _blend_packed(interpret, tiles_x, tile0, attrs, bg):
+    out, _ = _blend_packed_fwd(interpret, tiles_x, tile0, attrs, bg)
     return out
 
 
-def _blend_packed_fwd(interpret, tiles_x, attrs, bg):
+def _blend_packed_fwd(interpret, tiles_x, tile0, attrs, bg):
     t, _, k_cap = attrs.shape
-    attrs_spec, bg_spec, out_spec = _specs(k_cap)
+    tile0_spec, attrs_spec, bg_spec, out_spec = _specs(k_cap)
     out = pl.pallas_call(
         _make_fwd_kernel(tiles_x), grid=(t,),
-        in_specs=[attrs_spec, bg_spec],
+        in_specs=[tile0_spec, attrs_spec, bg_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((t, N_OUT, P), jnp.float32),
         interpret=interpret,
-    )(attrs, bg)
-    return out, (attrs, bg, out)
+    )(tile0, attrs, bg)
+    return out, (tile0, attrs, bg, out)
 
 
 def _blend_packed_bwd(interpret, tiles_x, res, g_out):
-    attrs, bg, saved = res
+    tile0, attrs, bg, saved = res
     t, _, k_cap = attrs.shape
-    attrs_spec, bg_spec, out_spec = _specs(k_cap)
+    tile0_spec, attrs_spec, bg_spec, out_spec = _specs(k_cap)
     d_attrs = pl.pallas_call(
         _make_bwd_kernel(tiles_x), grid=(t,),
-        in_specs=[attrs_spec, bg_spec, out_spec, out_spec],
+        in_specs=[tile0_spec, attrs_spec, bg_spec, out_spec, out_spec],
         out_specs=attrs_spec,
         out_shape=jax.ShapeDtypeStruct((t, N_CH, k_cap), jnp.float32),
         interpret=interpret,
-    )(attrs, bg, saved, g_out)
+    )(tile0, attrs, bg, saved, g_out)
     # Background gradient (outside the kernel; tiny reduction).
     t_final = jnp.exp(saved[:, OT, :])                 # [T, P]
     g_bg = jnp.stack([jnp.sum(t_final * g_out[:, i, :])
                       for i in (OR, OG, OB)])[None, :]
-    return d_attrs, g_bg
+    return None, d_attrs, g_bg
 
 
 _blend_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)
@@ -323,7 +328,9 @@ def blend_tiles_pallas(
     ], axis=1)                                          # [T, 16, K]
 
     interp = _interpret_default() if interpret is None else interpret
-    out = _blend_packed(interp, tiles_x, attrs, bg[None, :])  # [T, 8, P]
+    tile0 = jnp.zeros((1, 1), jnp.int32)
+    out = _blend_packed(interp, tiles_x, tile0, attrs,
+                        bg[None, :])                    # [T, 8, P]
 
     def to_image(flat, channels):
         img = flat.reshape(tiles_y, tiles_x, channels, TILE, TILE)

@@ -1,0 +1,112 @@
+"""Tile-sharded rendering — the framebuffer's SP-analog (SURVEY.md §5.7).
+
+One image's 16×16 tiles are sharded across the mesh's ``tile`` axis with
+``shard_map``: every chip runs the fused Pallas blend over its contiguous
+slab of tiles (the kernel receives the slab's first global tile id so pixel
+origins stay correct), Gaussians stay replicated, and the per-shard attribute
+gradients all-reduce back through the (automatic) VJP of the replicated
+gather.  Tiles are embarrassingly parallel — there is no cross-shard
+compositing, so no depth-ordered ring is needed until Gaussians themselves
+are sharded (SURVEY.md §7.3 'order-dependent compositing across shards':
+start tile-sharded with replicated Gaussians, ring-stage only when a chunk's
+primitives exceed per-chip HBM).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.camera import CameraParams
+from ..ops.binning import TILE, bin_gaussians
+from ..ops.pallas_blend import (MK, N_CH, _blend_packed, _interpret_default,
+                                OA, OB, OI, OR)
+from ..ops.preprocess import project_gaussians
+from ..ops.rasterize import RasterConfig
+
+
+def rasterize_tile_sharded(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    camera: CameraParams,
+    sh_degree: int,
+    bg: jnp.ndarray,
+    mesh: Mesh,
+    config: RasterConfig = RasterConfig(),
+    active_mask: jnp.ndarray | None = None,
+    mean2d_residual: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable render with tiles sharded over ``mesh``'s ``tile``
+    axis.  Same outputs as ``ops.rasterize.rasterize``.  Projection and
+    binning run replicated (they are O(N) and O(N·D log) respectively —
+    cheap next to the blend); only the per-tile blend is sharded."""
+    proj = project_gaussians(means3d, scales, quats, opacities, sh_coeffs,
+                             camera, sh_degree, 1.0, active_mask)
+    if mean2d_residual is not None:
+        proj = proj._replace(mean2d=proj.mean2d + mean2d_residual)
+
+    h, w = camera.height, camera.width
+    bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity)
+    o = bins.order
+    tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
+    t_total = tiles_x * tiles_y
+    k_cap = bins.gather.shape[1]
+
+    n_shards = mesh.shape["tile"]
+    pad_t = (-t_total) % n_shards
+    g = jnp.concatenate(
+        [bins.gather, jnp.zeros((pad_t, k_cap), bins.gather.dtype)], 0)
+    m = jnp.concatenate(
+        [bins.mask, jnp.zeros((pad_t, k_cap), bool)], 0).astype(jnp.float32)
+
+    mean2d = proj.mean2d[o]
+    conic = proj.conic[o]
+    color = proj.color[o]
+    opac = proj.opacity[o]
+    invd = proj.inv_depth[o]
+
+    mu = mean2d[g]
+    co = conic[g]
+    rgb = color[g]
+    pad = jnp.zeros((t_total + pad_t, k_cap), jnp.float32)
+    attrs = jnp.stack([
+        mu[..., 0], mu[..., 1], co[..., 0], co[..., 1], co[..., 2],
+        rgb[..., 0], rgb[..., 1], rgb[..., 2],
+        opac[g], invd[g], m,
+        pad, pad, pad, pad, pad,
+    ], axis=1)                                          # [T_pad, 16, K]
+
+    interp = _interpret_default() if interpret is None else interpret
+    t_local = (t_total + pad_t) // n_shards
+
+    def local_blend(attrs_shard, bg_rep):
+        tile0 = (jax.lax.axis_index("tile") * t_local).astype(
+            jnp.int32).reshape(1, 1)
+        return _blend_packed(interp, tiles_x, tile0, attrs_shard, bg_rep)
+
+    out = shard_map(
+        local_blend, mesh=mesh,
+        in_specs=(P("tile"), P()), out_specs=P("tile"),
+        check_vma=False,
+    )(attrs, bg[None, :])                               # [T_pad, 8, 256]
+
+    def to_image(flat, channels):
+        img = flat[:t_total].reshape(tiles_y, tiles_x, channels, TILE, TILE)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(channels,
+                                                   tiles_y * TILE,
+                                                   tiles_x * TILE)
+        return img[:, :h, :w]
+
+    image = to_image(out[:, OR:OB + 1, :], 3)
+    invdepth = to_image(out[:, OI:OI + 1, :], 1)
+    alpha_img = to_image(out[:, OA:OA + 1, :], 1)[0]
+    return {"render": image, "depth": invdepth, "alpha": alpha_img,
+            "radii": proj.radius, "visibility": proj.valid,
+            "dup_overflow": bins.dup_overflow,
+            "tile_overflow": bins.tile_overflow}

@@ -1,0 +1,94 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh: data-parallel
+training step semantics and tile-sharded rendering parity + gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from street_sparse_3dgs_tpu.config import OptimizationConfig, PipelineConfig
+from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+from street_sparse_3dgs_tpu.models.gaussians import create_from_pcd
+from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+from street_sparse_3dgs_tpu.parallel.dp import make_dp_train_step
+from street_sparse_3dgs_tpu.parallel.mesh import make_mesh
+from street_sparse_3dgs_tpu.parallel.tiles import rasterize_tile_sharded
+from street_sparse_3dgs_tpu.train.step import CameraBatch, init_state
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_toy_scene(seed=0, n=256, n_cameras=8, width=64, height=64)
+
+
+def test_tile_sharded_matches_single(scene):
+    mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
+    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cam = scene.cameras[0]
+    args = (scene.means3d, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs, cam, 3, jnp.zeros(3))
+    ref = rasterize(*args, cfg)
+    with mesh:
+        out = rasterize_tile_sharded(*args, mesh=mesh, config=cfg)
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), atol=2e-5)
+
+
+def test_tile_sharded_gradients(scene):
+    mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
+    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cam = scene.cameras[0]
+
+    def loss_single(means):
+        out = rasterize(means, scene.scales, scene.quats, scene.opacities,
+                        scene.sh_coeffs, cam, 3, jnp.zeros(3), cfg)
+        return jnp.mean(out["render"] ** 2)
+
+    def loss_sharded(means):
+        out = rasterize_tile_sharded(
+            means, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs, cam, 3, jnp.zeros(3), mesh, cfg)
+        return jnp.mean(out["render"] ** 2)
+
+    ga = jax.grad(loss_single)(scene.means3d)
+    with mesh:
+        gb = jax.jit(jax.grad(loss_sharded))(scene.means3d)
+    scale = float(jnp.abs(ga).max()) + 1e-8
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               atol=3e-4 * scale, rtol=2e-3)
+
+
+def test_dp_step_matches_serial_visibility_union(scene):
+    """The DP step over B cameras computes the mean-loss gradient; check it
+    runs sharded over 8 devices and the result is replicated-consistent."""
+    mesh = make_mesh(n_data=8, n_tile=1)
+    key = jax.random.PRNGKey(0)
+    params, active, meta = create_from_pcd(
+        key, np.asarray(scene.means3d), np.full((256, 3), 0.5), capacity=256)
+    opt = OptimizationConfig()
+    pipe = PipelineConfig(tile_capacity=256, max_dup=16)
+    step_fn, shard_batch, shard_state = make_dp_train_step(
+        meta, opt, pipe, 1.0, mesh)
+    cams = jax.tree.map(lambda *xs: jnp.stack(xs), *scene.cameras)
+    b = 8
+    batch = CameraBatch(
+        camera=cams, gt_image=jnp.zeros((b, 3, 64, 64)),
+        alpha_mask=jnp.ones((b, 1, 64, 64)),
+        mono_invdepth=jnp.zeros((b, 1, 64, 64)),
+        depth_mask=jnp.zeros((b, 1, 64, 64)),
+        depth_reliable=jnp.zeros((b,), bool),
+        image_index=jnp.arange(b, dtype=jnp.int32))
+    state = shard_state(init_state(params, active, b))
+    with mesh:
+        new_state, aux = step_fn(shard_state(state), shard_batch(batch), 3)
+    assert np.isfinite(float(aux["loss"]))
+    assert int(aux["n_visible"]) > 0
+    # Params changed and stayed finite.
+    assert np.isfinite(np.asarray(new_state.params.xyz)).all()
+    assert not np.allclose(np.asarray(new_state.params.xyz),
+                           np.asarray(state.params.xyz))
