@@ -21,7 +21,7 @@ from jax import shard_map
 
 from ..core.camera import CameraParams
 from ..ops.binning import TILE, bin_gaussians
-from ..ops.pallas_blend import (MK, N_CH, _blend_packed, _interpret_default,
+from ..ops.pallas_blend import (_blend_packed, _interpret_default,
                                 OA, OB, OI, OR)
 from ..ops.preprocess import project_gaussians
 from ..ops.rasterize import RasterConfig
@@ -71,16 +71,10 @@ def rasterize_tile_sharded(
     opac = proj.opacity[o]
     invd = proj.inv_depth[o]
 
-    mu = mean2d[g]
-    co = conic[g]
-    rgb = color[g]
-    pad = jnp.zeros((t_total + pad_t, k_cap), jnp.float32)
-    attrs = jnp.stack([
-        mu[..., 0], mu[..., 1], co[..., 0], co[..., 1], co[..., 2],
-        rgb[..., 0], rgb[..., 1], rgb[..., 2],
-        opac[g], invd[g], m,
-        pad, pad, pad, pad, pad,
-    ], axis=1)                                          # [T_pad, 16, K]
+    from ..ops.pallas_blend import pack_gather_attrs
+
+    attrs = pack_gather_attrs(g, m > 0.5, mean2d, conic, color, opac,
+                              invd)                     # [T_pad, 16, K]
 
     interp = _interpret_default() if interpret is None else interpret
     t_local = (t_total + pad_t) // n_shards
