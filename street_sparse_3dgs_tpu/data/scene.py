@@ -190,7 +190,9 @@ def resolve_resolution(width: int, height: int, resolution: int):
     return round(width / scale), round(height / scale)
 
 
-def load_camera_arrays(info: CameraInfo, resolution: int = -1):
+def load_camera_arrays(info: CameraInfo, resolution: int = -1,
+                       train_test_exp: bool = False,
+                       is_test_dataset: bool = False):
     """Host-side per-item load (the CameraDataset.__getitem__ analogue):
     returns dict of numpy arrays ready to become a CameraBatch."""
     from PIL import Image
@@ -207,6 +209,15 @@ def load_camera_arrays(info: CameraInfo, resolution: int = -1):
     if info.mask_path and Path(info.mask_path).exists():
         m = Image.open(info.mask_path).convert("L").resize((w, h))
         alpha = (np.asarray(m, np.float32)[None] / 255.0)
+
+    if train_test_exp and info.is_test:
+        # Exposure-optimization split (``scene/cameras.py:56-60``): a test
+        # view used during training contributes only its LEFT half; at eval
+        # it is scored only on its right half.
+        if is_test_dataset:
+            alpha[..., : w // 2] = 0.0
+        else:
+            alpha[..., w // 2:] = 0.0
 
     invdepth = np.zeros((1, h, w), np.float32)
     depth_mask = np.zeros((1, h, w), np.float32)
@@ -240,13 +251,17 @@ class CameraStream:
     ``utils/camera_utils.py:126-147``)."""
 
     def __init__(self, infos: list[CameraInfo], resolution: int = -1,
-                 seed: int = 0, shuffle: bool = True):
+                 seed: int = 0, shuffle: bool = True,
+                 train_test_exp: bool = False,
+                 is_test_dataset: bool = False):
         import random
 
         self.infos = infos
         self.resolution = resolution
         self.rng = random.Random(seed)
         self.shuffle = shuffle
+        self.train_test_exp = train_test_exp
+        self.is_test_dataset = is_test_dataset
         self.index = {c.image_name: i for i, c in enumerate(infos)}
 
     def __iter__(self):
@@ -259,7 +274,9 @@ class CameraStream:
             self.rng.shuffle(order)
         for i in order:
             info = self.infos[i]
-            a = load_camera_arrays(info, self.resolution)
+            a = load_camera_arrays(info, self.resolution,
+                                   self.train_test_exp,
+                                   self.is_test_dataset)
             batch = CameraBatch(
                 camera=a["camera"],
                 gt_image=jnp.asarray(a["gt_image"]),

@@ -1,1 +1,1 @@
-from . import metrics, render_hier  # noqa: F401
+from . import metrics, render_hier, render_position  # noqa: F401
