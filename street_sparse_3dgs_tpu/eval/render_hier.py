@@ -37,6 +37,7 @@ def render_hierarchy_eval(
     with_lpips: bool = True,
     with_breakdowns: bool = False,
     sh_degree: int = 3,
+    compact: bool = True,
 ) -> dict:
     """Returns {tau: {psnr, ssim, lpips, imae, irmse, ...}} averaged over the
     evaluated views; optionally writes renders to ``out_dir/renders_tau``."""
@@ -58,8 +59,15 @@ def render_hierarchy_eval(
             cam = batch.camera
             limit = pixel_limit(tau, float(cam.tan_fovx), cam.width)
             cut = select_cut(h, cam.campos, limit)
-            out = render_cut(h.params, cut, h.n_nodes, h.skybox_count, cam,
-                             sh_degree, jnp.zeros(3), cfg)
+            if compact:
+                from ..hierarchy.render import render_cut_compact
+
+                out = render_cut_compact(h.params, cut, h.n_nodes,
+                                         h.skybox_count, cam, sh_degree,
+                                         jnp.zeros(3), cfg)
+            else:
+                out = render_cut(h.params, cut, h.n_nodes, h.skybox_count,
+                                 cam, sh_degree, jnp.zeros(3), cfg)
             image = np.clip(np.asarray(out["render"]), 0, 1)
             invdepth = np.asarray(out["depth"])
             gt = np.asarray(batch.gt_image)

@@ -76,3 +76,63 @@ def render_cut(
     return rasterize(xyz, scales, quats, opac, sh, camera, sh_degree, bg,
                      config, active_mask=active,
                      mean2d_residual=mean2d_residual)
+
+
+def compact_cut_params(h_params: GaussianParams, cut: Cut, n_nodes: int,
+                       skybox_count: int, pad_to_pow2: bool = True):
+    """Host-side compaction for *evaluation* renders: gather only the
+    selected nodes (+ skybox tail), blend them with their parents, and
+    return dense activated arrays.
+
+    Training keeps the mask form (static shapes); at eval a coarse cut may
+    select a tiny fraction of a multi-million-node hierarchy, where the
+    reference's dense-buffer approach (``render_post`` on ``to_render``
+    entries) wins.  Row count is padded to a power of two so repeated eval
+    calls reuse a bounded set of compiled programs."""
+    import numpy as np
+
+    sel = np.nonzero(np.asarray(cut.selected))[0]
+    total = h_params.xyz.shape[0]
+    sky = np.arange(n_nodes, total)
+    idx = np.concatenate([sel, sky])
+    par = np.concatenate([np.asarray(cut.parent)[sel], sky])
+    w = np.concatenate([np.asarray(cut.weights)[sel],
+                        np.ones(len(sky), np.float32)])
+
+    n = len(idx)
+    n_pad = 1 << max(4, int(np.ceil(np.log2(max(n, 1))))) if pad_to_pow2 \
+        else n
+    pad = n_pad - n
+    idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+    par = np.concatenate([par, np.zeros(pad, par.dtype)])
+    w = np.concatenate([w, np.ones(pad, np.float32)])
+    active = jnp.asarray(np.arange(n_pad) < n)
+
+    gi = jnp.asarray(idx)
+    gp = jnp.asarray(par)
+    wj = jnp.asarray(w)[:, None]
+
+    xyz = h_params.xyz
+    scales = jnp.exp(h_params.log_scales)
+    opac = jnp.abs(h_params.opacity_raw[:, 0])
+    sh = sh_coeffs(h_params)
+    quats = h_params.quats
+
+    xyz_b = wj * xyz[gi] + (1 - wj) * xyz[gp]
+    scales_b = wj * scales[gi] + (1 - wj) * scales[gp]
+    opac_b = wj[:, 0] * opac[gi] + (1 - wj[:, 0]) * opac[gp]
+    sh_b = wj[:, :, None] * sh[gi] + (1 - wj[:, :, None]) * sh[gp]
+    parents_q = align_sign(quats[gp], quats[gi])
+    quats_b = wj * quats[gi] + (1 - wj) * parents_q
+    return xyz_b, scales_b, quats_b, opac_b, sh_b, active
+
+
+def render_cut_compact(h_params: GaussianParams, cut: Cut, n_nodes: int,
+                       skybox_count: int, camera, sh_degree: int,
+                       bg: jnp.ndarray, config: RasterConfig = RasterConfig()):
+    """Evaluation-path render over the compacted cut (non-differentiable
+    boundary: compaction happens on the host)."""
+    xyz, scales, quats, opac, sh, active = compact_cut_params(
+        h_params, cut, n_nodes, skybox_count)
+    return rasterize(xyz, scales, quats, opac, sh, camera, sh_degree, bg,
+                     config, active_mask=active)

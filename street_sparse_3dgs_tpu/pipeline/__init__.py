@@ -1,1 +1,1 @@
-from . import full_train  # noqa: F401
+from . import experiments, full_train  # noqa: F401

@@ -250,8 +250,15 @@ def full_train(project_dir, model_cfg: ModelConfig | None = None,
                skip_if_exists: bool = True, keep_running: bool = False,
                coarse_iterations=None, chunk_iterations=None,
                post_iterations=None, skybox_num: int = 100_000,
-               chunk_filter: list[str] | None = None, seed: int = 0):
-    """Run the full 5-stage pipeline over a project directory."""
+               chunk_filter: list[str] | None = None, seed: int = 0,
+               host_id: int = 0, num_hosts: int = 1):
+    """Run the full 5-stage pipeline over a project directory.
+
+    Multi-host chunk fan-out (the reference's Slurm parallelism, SURVEY.md
+    §2.6 P1): launch this on every host with its ``host_id``/``num_hosts`` —
+    chunks are partitioned round-robin, stages stay idempotent on the shared
+    filesystem, and whichever host finds all per-chunk artifacts present
+    runs the consolidation."""
     paths = ProjectPaths(Path(project_dir))
     model_cfg = model_cfg or ModelConfig()
     opt = opt or OptimizationConfig()
@@ -272,10 +279,14 @@ def full_train(project_dir, model_cfg: ModelConfig | None = None,
         train_coarse_stage(paths, model_cfg, opt, pipe, skybox_num,
                            iterations=coarse_iterations, seed=seed)
 
-    chunk_names = sorted(p.name for p in paths.chunks_dir.iterdir()
-                         if p.is_dir()) if paths.chunks_dir.exists() else []
+    all_chunk_names = sorted(
+        p.name for p in paths.chunks_dir.iterdir()
+        if p.is_dir()) if paths.chunks_dir.exists() else []
+    chunk_names = all_chunk_names
     if chunk_filter:
         chunk_names = [c for c in chunk_names if c in chunk_filter]
+    if num_hosts > 1:
+        chunk_names = chunk_names[host_id::num_hosts]
 
     done_chunks = []
     for name in chunk_names:
@@ -301,11 +312,19 @@ def full_train(project_dir, model_cfg: ModelConfig | None = None,
             print(f"chunk {name} failed; continuing (keep_running)")
 
     merged = None
-    if done_chunks:
+    # Consolidate over every chunk whose optimized hierarchy exists (on a
+    # multi-host run only the host that sees all of them will merge).
+    ready = [c for c in all_chunk_names
+             if (paths.trained_chunks_dir / c
+                 / "hierarchy.hier_opt.npz").exists()]
+    if ready and (chunk_filter or set(ready) >= set(all_chunk_names)):
         print("== Stage 5: consolidation ==")
-        merged = consolidate_stage(paths, done_chunks)
+        merged = consolidate_stage(paths, ready)
+    elif ready:
+        print(f"consolidation deferred: {len(ready)}/{len(all_chunk_names)} "
+              "chunk hierarchies ready")
     print(f"full_train done in {(time.time() - t0) / 60:.1f} min "
-          f"({len(done_chunks)}/{len(chunk_names)} chunks)")
+          f"({len(done_chunks)}/{len(chunk_names)} chunks on this host)")
     return merged
 
 

@@ -1,0 +1,129 @@
+"""Auxiliary subsystems: virtual depth cameras, experiment snapshots,
+compacted hierarchy eval render, multi-host chunk partitioning."""
+
+import json
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from street_sparse_3dgs_tpu.data import colmap
+from street_sparse_3dgs_tpu.pipeline import experiments
+from street_sparse_3dgs_tpu.preprocess import virtual_cams
+
+
+def test_virtual_cams(tmp_path):
+    records = [{"ImageId": f"R{i}", "RecordedAt": i,
+                "X": float(i), "Y": 0.0, "Height": 2.0,
+                "Yaw": 10.0 * i, "VehicleDirection": 0.0}
+               for i in range(5)]
+    # Insert a large gap: no interpolation across it.
+    records.append({"ImageId": "R99", "RecordedAt": 99, "X": 100.0,
+                    "Y": 0.0, "Height": 2.0, "Yaw": 0.0,
+                    "VehicleDirection": 0.0})
+    out = tmp_path / "sparse"
+    out.mkdir()
+    (out / "translation.json").write_text(
+        json.dumps({"x_translation": 0.0, "y_translation": 0.0}))
+    info = virtual_cams.augment_recording_details(
+        {"RecordingProperties": records}, out, num_interpolations=2)
+    # 4 gaps x 2 interpolations (the jump to R99 skipped).
+    assert info["n_virtual_recordings"] == 8
+    assert info["n_depth_cameras"] == 8 * 8
+    images = colmap.read_images_binary(out / "images_depths.bin")
+    assert len(images) == 64
+    # Interpolated position between R0 and R1 sits at x = 1/3 and 2/3.
+    centers = sorted(
+        round(float((-colmap.qvec2rotmat(im.qvec).T @ im.tvec)[0]), 3)
+        for im in images.values()
+        if im.name.split("/")[1].startswith("R0_"))
+    assert centers[0] == pytest.approx(1 / 3, abs=1e-3)
+    assert centers[-1] == pytest.approx(2 / 3, abs=1e-3)
+
+
+def test_yaw_interpolation_wraps():
+    a = {"ImageId": "a", "RecordedAt": 0, "X": 0.0, "Y": 0.0,
+         "Yaw": 350.0, "VehicleDirection": 0.0}
+    b = {"ImageId": "b", "RecordedAt": 1, "X": 1.0, "Y": 0.0,
+         "Yaw": 10.0, "VehicleDirection": 0.0}
+    out = virtual_cams.interpolate_recordings([a, b], 1)
+    assert out[0]["Yaw"] % 360.0 == pytest.approx(0.0, abs=1e-6)
+
+
+def test_experiment_snapshots(tmp_path):
+    out = tmp_path / "output"
+    out.mkdir()
+    (out / "results.txt").write_text("psnr 30")
+    store = tmp_path / "store"
+    experiments.save_test(out, store, "run1", note="baseline")
+    assert experiments.list_tests(store)[0]["name"] == "run1"
+    restored = tmp_path / "restored"
+    experiments.load_test(store, "run1", restored)
+    assert (restored / "results.txt").read_text() == "psnr 30"
+    with pytest.raises(FileExistsError):
+        experiments.save_test(out, store, "run1")
+    experiments.remove_test(store, "run1")
+    assert experiments.list_tests(store) == []
+
+
+def test_compact_render_matches_masked():
+    from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+    from street_sparse_3dgs_tpu.hierarchy.build import build_hierarchy
+    from street_sparse_3dgs_tpu.hierarchy.render import (render_cut,
+                                                         render_cut_compact)
+    from street_sparse_3dgs_tpu.hierarchy.structure import select_cut
+    from street_sparse_3dgs_tpu.models.gaussians import (GaussianParams,
+                                                         inverse_sigmoid)
+    from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig
+
+    s = make_toy_scene(seed=1, n=120, n_cameras=1, width=64, height=64)
+    params = GaussianParams(
+        xyz=s.means3d, features_dc=s.sh_coeffs[:, :1],
+        features_rest=s.sh_coeffs[:, 1:], log_scales=jnp.log(s.scales),
+        quats=s.quats, opacity_raw=inverse_sigmoid(s.opacities)[:, None])
+    h = build_hierarchy(params)
+    cam = s.cameras[0]
+    cfg = RasterConfig(tile_capacity=256)
+    for limit in (0.02, 0.2):
+        cut = select_cut(h, cam.campos, limit)
+        a = render_cut(h.params, cut, h.n_nodes, h.skybox_count, cam, 3,
+                       jnp.zeros(3), cfg)
+        b = render_cut_compact(h.params, cut, h.n_nodes, h.skybox_count,
+                               cam, 3, jnp.zeros(3), cfg)
+        np.testing.assert_allclose(np.asarray(b["render"]),
+                                   np.asarray(a["render"]), atol=1e-4)
+
+
+def test_multi_host_partitioning(tmp_path, monkeypatch):
+    """Chunks partition round-robin; consolidation waits for all."""
+    from street_sparse_3dgs_tpu.pipeline import full_train as ft
+
+    paths = ft.ProjectPaths(tmp_path)
+    for name in ("0_0", "1_0", "2_0"):
+        (paths.chunks_dir / name).mkdir(parents=True)
+    paths.scaffold_dir.mkdir(parents=True)
+    # Pretend the scaffold exists so stage 1 is skipped.
+    pc = paths.scaffold_dir / "point_cloud" / "iteration_1"
+    pc.mkdir(parents=True)
+    (pc / "point_cloud.ply").write_text("")
+
+    processed = []
+    monkeypatch.setattr(ft, "train_chunk_stage",
+                        lambda *a, **k: processed.append(a[1]))
+    monkeypatch.setattr(ft, "build_hierarchy_stage", lambda *a, **k: None)
+
+    def fake_post(paths_, name, *a, **k):
+        out = paths_.trained_chunks_dir / name
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "hierarchy.hier_opt.npz").write_text("")
+
+    monkeypatch.setattr(ft, "post_opt_stage", fake_post)
+    merged_calls = []
+    monkeypatch.setattr(ft, "consolidate_stage",
+                        lambda p, names: merged_calls.append(sorted(names)))
+
+    ft.full_train(tmp_path, host_id=0, num_hosts=2, skip_if_exists=True)
+    assert processed == ["0_0", "2_0"]
+    assert merged_calls == []          # host 1's chunk not ready yet
+    ft.full_train(tmp_path, host_id=1, num_hosts=2, skip_if_exists=True)
+    assert processed == ["0_0", "2_0", "1_0"]
+    assert merged_calls == [["0_0", "1_0", "2_0"]]
