@@ -29,6 +29,7 @@ def _parse(argv, extra=()):
     parser.add_argument("--save_iterations", type=int, default=-1)
     parser.add_argument("--checkpoint_iterations", type=int, nargs="*",
                         default=[])
+    parser.add_argument("--start_checkpoint", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
     for name, kw in extra:
         parser.add_argument(name, **kw)
@@ -110,11 +111,20 @@ def train_single(argv):
         gt_xyz, _ = fetch_point_cloud(gt_ply)
         gt_index = build_index(gt_xyz, model.constraint_treshold)
     state = init_state(params, active, len(info.train_cameras))
-    stream = CameraStream(info.train_cameras, model.resolution, args.seed)
+    if args.start_checkpoint:
+        from .models.serialize import load_checkpoint
+
+        state, meta, it0 = load_checkpoint(args.start_checkpoint)
+        print(f"restored checkpoint at iteration {it0}")
+    stream = CameraStream(info.train_cameras, model.resolution, args.seed,
+                          train_test_exp=model.train_test_exp)
+    from .train.loop import LoopHooks
     state, meta, stats = train_loop(
         state, meta, stream, opt, pipe, model,
         cameras_extent=info.nerf_radius, spatial_lr_scale=info.nerf_radius,
-        densify_enabled=True, rng_seed=args.seed, gt_index=gt_index)
+        densify_enabled=True, rng_seed=args.seed, gt_index=gt_index,
+        hooks=LoopHooks(
+            checkpoint_iterations=tuple(args.checkpoint_iterations)))
     save_scene(model.model_path, opt.iterations, state, meta,
                [c.image_name for c in info.train_cameras])
     cfg_mod.save_cfg_args(model.model_path, model, pipe, opt)

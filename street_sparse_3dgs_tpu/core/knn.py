@@ -71,3 +71,95 @@ def knn_sq_dists(points: jnp.ndarray, k: int = 3, query_block: int = 4096,
 def mean_sq_dist_to_3nn(points: jnp.ndarray) -> jnp.ndarray:
     """distCUDA2 equivalent: [N,3] -> [N] mean squared distance to 3 NN."""
     return jnp.mean(knn_sq_dists(points, k=3), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Grid-hash approximate 3-NN for production-scale init (millions of points):
+# the exact blocked KNN above is O(N²) matmuls — fine to a few hundred
+# thousand points, too slow at the reference's 8M-Gaussian scale.  The
+# approximation searches the 3×3×3 voxel neighborhood at a cell size tied to
+# the local point spacing; isolated points fall back to the cell size
+# (upper-bounding their scale — harmless for init, the reference clamps
+# scene scales anyway, ``scene/gaussian_model.py:208-210``).
+
+EXACT_KNN_MAX = 200_000
+
+
+def grid_mean_sq_dist_to_3nn(points, cell_size: float | None = None,
+                             max_per_cell: int = 32,
+                             query_chunk: int = 8192):
+    """[N,3] -> [N] approximate mean squared 3-NN distance via voxel hash."""
+    import numpy as np
+
+    pts = np.asarray(points, np.float32)
+    n = pts.shape[0]
+    if cell_size is None:
+        lo, hi = pts.min(0), pts.max(0)
+        vol = float(np.prod(np.maximum(hi - lo, 1e-6)))
+        cell_size = 2.0 * (vol / max(n, 1)) ** (1.0 / 3.0)
+
+    cells = np.floor(pts / cell_size).astype(np.int64)
+    primes = np.array([73856093, 19349669, 83492791], dtype=np.int64)
+    keys = ((cells[:, 0] * primes[0]) ^ (cells[:, 1] * primes[1])
+            ^ (cells[:, 2] * primes[2])).astype(np.int32)
+    order = np.argsort(keys, kind="stable")
+    pts_sorted = jnp.asarray(pts[order])
+    keys_sorted = keys[order]
+    uniq, start, count = np.unique(keys_sorted, return_index=True,
+                                   return_counts=True)
+    uniq_j = jnp.asarray(uniq)
+    start_j = jnp.asarray(start.astype(np.int32))
+    count_j = jnp.asarray(count.astype(np.int32))
+    rank_of = np.empty(n, np.int64)
+    rank_of[order] = np.arange(n)
+
+    m = n
+    cap = max_per_cell
+    fallback = jnp.float32(cell_size * cell_size)
+
+    def query(xb):
+        base = jnp.floor(xb / cell_size).astype(jnp.int32)
+        best = jnp.full((xb.shape[0], 4), jnp.inf, jnp.float32)
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                for oz in (-1, 0, 1):
+                    cell = base + jnp.asarray([ox, oy, oz], jnp.int32)
+                    key = ((cell[:, 0] * jnp.int32(73856093))
+                           ^ (cell[:, 1] * jnp.int32(19349669))
+                           ^ (cell[:, 2] * jnp.int32(83492791)))
+                    pos = jnp.minimum(jnp.searchsorted(uniq_j, key),
+                                      uniq_j.shape[0] - 1)
+                    hit = uniq_j[pos] == key
+                    st = start_j[pos]
+                    ct = jnp.minimum(count_j[pos], cap)
+                    slot = jnp.arange(cap)[None, :]
+                    idx = jnp.minimum(st[:, None] + slot, m - 1)
+                    cand = pts_sorted[idx]
+                    d2 = jnp.sum((cand - xb[:, None, :]) ** 2, axis=-1)
+                    d2 = jnp.where(hit[:, None] & (slot < ct[:, None]),
+                                   d2, jnp.inf)
+                    merged = jnp.concatenate([best, d2], axis=1)
+                    nb, _ = jax.lax.top_k(-merged, 4)
+                    best = -nb
+        # Drop self (distance 0) and average the next 3; isolated points
+        # (fewer than 4 in-radius neighbors incl. self) fall back.
+        three = best[:, 1:4]
+        out = jnp.where(jnp.isfinite(three), three, fallback)
+        return jnp.mean(out, axis=1)
+
+    pad = (-n) % query_chunk
+    xq = jnp.concatenate(
+        [jnp.asarray(pts), jnp.zeros((pad, 3), jnp.float32)], 0)
+
+    def step(_, xb):
+        return None, query(xb)
+
+    _, out = jax.lax.scan(step, None, xq.reshape(-1, query_chunk, 3))
+    return out.reshape(-1)[:n]
+
+
+def mean_sq_dist_to_3nn_auto(points) -> jnp.ndarray:
+    """distCUDA2 equivalent with automatic exact/grid switch by size."""
+    if points.shape[0] <= EXACT_KNN_MAX:
+        return mean_sq_dist_to_3nn(points)
+    return grid_mean_sq_dist_to_3nn(points)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import sh as shlib
-from ..core.knn import mean_sq_dist_to_3nn
+from ..core.knn import mean_sq_dist_to_3nn_auto
 
 
 def inverse_sigmoid(x):
@@ -158,7 +158,7 @@ def create_from_pcd(
     n = xyz.shape[0]
 
     # Scale init: log sqrt of mean squared 3-NN distance (distCUDA2 contract).
-    dist2 = jnp.maximum(mean_sq_dist_to_3nn(xyz), 1e-7)
+    dist2 = jnp.maximum(mean_sq_dist_to_3nn_auto(xyz), 1e-7)
     if use_skybox:
         # Reference: skybox gaussians 10× bigger, scene ones clamped ≤ 10 m².
         sky = jnp.arange(n) < skybox_points

@@ -259,10 +259,13 @@ def full_train(project_dir, model_cfg: ModelConfig | None = None,
     chunks are partitioned round-robin, stages stay idempotent on the shared
     filesystem, and whichever host finds all per-chunk artifacts present
     runs the consolidation."""
+    from ..utils import stage_timer
+
     paths = ProjectPaths(Path(project_dir))
     model_cfg = model_cfg or ModelConfig()
     opt = opt or OptimizationConfig()
     pipe = pipe or PipelineConfig()
+    timing_log = paths.output_dir / "training_pipeline_timing.txt"
     t0 = time.time()
 
     scaffold_ply = None
@@ -276,8 +279,9 @@ def full_train(project_dir, model_cfg: ModelConfig | None = None,
         print("Skipping coarse")
     else:
         print("== Stage 1: coarse scaffold ==")
-        train_coarse_stage(paths, model_cfg, opt, pipe, skybox_num,
-                           iterations=coarse_iterations, seed=seed)
+        with stage_timer("coarse", timing_log):
+            train_coarse_stage(paths, model_cfg, opt, pipe, skybox_num,
+                               iterations=coarse_iterations, seed=seed)
 
     all_chunk_names = sorted(
         p.name for p in paths.chunks_dir.iterdir()
@@ -297,13 +301,16 @@ def full_train(project_dir, model_cfg: ModelConfig | None = None,
                 done_chunks.append(name)
                 continue
             print(f"== Stage 2: chunk {name} training ==")
-            train_chunk_stage(paths, name, model_cfg, opt, pipe,
-                              iterations=chunk_iterations, seed=seed)
+            with stage_timer(f"chunk_{name}_train", timing_log):
+                train_chunk_stage(paths, name, model_cfg, opt, pipe,
+                                  iterations=chunk_iterations, seed=seed)
             print(f"== Stage 3: chunk {name} hierarchy ==")
-            build_hierarchy_stage(paths, name)
+            with stage_timer(f"chunk_{name}_hierarchy", timing_log):
+                build_hierarchy_stage(paths, name)
             print(f"== Stage 4: chunk {name} post-opt ==")
-            post_opt_stage(paths, name, model_cfg, opt, pipe,
-                           iterations=post_iterations, seed=seed)
+            with stage_timer(f"chunk_{name}_post", timing_log):
+                post_opt_stage(paths, name, model_cfg, opt, pipe,
+                               iterations=post_iterations, seed=seed)
             done_chunks.append(name)
         except Exception:
             traceback.print_exc()
@@ -319,7 +326,8 @@ def full_train(project_dir, model_cfg: ModelConfig | None = None,
                  / "hierarchy.hier_opt.npz").exists()]
     if ready and (chunk_filter or set(ready) >= set(all_chunk_names)):
         print("== Stage 5: consolidation ==")
-        merged = consolidate_stage(paths, ready)
+        with stage_timer("consolidation", timing_log):
+            merged = consolidate_stage(paths, ready)
     elif ready:
         print(f"consolidation deferred: {len(ready)}/{len(all_chunk_names)} "
               "chunk hierarchies ready")

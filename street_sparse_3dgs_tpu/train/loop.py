@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from pathlib import Path
 from typing import Callable, Iterable
 
 import jax
@@ -131,6 +132,11 @@ def train_loop(
     iterations = iterations or opt.iterations
     key = jax.random.PRNGKey(rng_seed)
 
+    from ..utils import EmaMeter
+
+    ema = EmaMeter()
+    progress_every = max(1, min(500, iterations // 10))
+
     step_photo = make_train_step(
         meta, opt, pipe, spatial_lr_scale,
         is_depth_only=False, use_trained_exp=not coarse_mode,
@@ -163,7 +169,12 @@ def train_loop(
 
         if hooks.on_step is not None:
             hooks.on_step(it, state, aux)
-        stats["losses"].append(float(aux["loss"]))
+        loss_val = float(aux["loss"])
+        stats["losses"].append(loss_val)
+        ema.update(loss_val)
+        if it % progress_every == 0:
+            print(f"  it {it}/{iterations} loss(ema) {ema.value:.5f} "
+                  f"visible {int(aux['n_visible'])}")
 
         # --- densification cadence -----------------------------------------
         if (densify_enabled and it < opt.densify_until_iter
@@ -215,7 +226,15 @@ def train_loop(
                                0.1 if coarse_mode else clamp_fraction,
                                jnp.float32(cameras_extent))
 
-        if it in hooks.checkpoint_iterations and hooks.on_checkpoint:
-            hooks.on_checkpoint(it, state, meta)
+        if it in hooks.checkpoint_iterations:
+            if hooks.on_checkpoint:
+                hooks.on_checkpoint(it, state, meta)
+            else:
+                from ..models.serialize import save_checkpoint
+
+                if model_cfg.model_path:
+                    save_checkpoint(
+                        Path(model_cfg.model_path) / f"chkpnt{it}.npz",
+                        state, meta, it)
 
     return state, meta, stats

@@ -198,3 +198,25 @@ class TestKNN:
         np.fill_diagonal(d2, np.inf)
         expected = np.sort(d2, axis=1)[:, :3]
         np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-6)
+
+
+def test_grid_knn_matches_exact():
+    """Grid-hash approximate 3-NN agrees with the exact blocked KNN on a
+    dense cloud (within the neighborhood radius) and upper-bounds isolated
+    points."""
+    import numpy as np
+    from street_sparse_3dgs_tpu.core.knn import (grid_mean_sq_dist_to_3nn,
+                                                 mean_sq_dist_to_3nn)
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (2000, 3)).astype(np.float32)
+    exact = np.asarray(mean_sq_dist_to_3nn(jnp.asarray(pts)))
+    approx = np.asarray(grid_mean_sq_dist_to_3nn(pts, query_chunk=512))
+    # Dense cloud: 3-NN within one cell neighborhood for nearly all points.
+    rel = np.abs(approx - exact) / np.maximum(exact, 1e-9)
+    assert np.median(rel) < 1e-4
+    assert (rel < 1e-3).mean() > 0.95
+    # Isolated point: falls back to a bounded value, not inf.
+    far = np.concatenate([pts, [[100.0, 100.0, 100.0]]]).astype(np.float32)
+    a2 = np.asarray(grid_mean_sq_dist_to_3nn(far, query_chunk=512))
+    assert np.isfinite(a2[-1]) and a2[-1] > 0
