@@ -101,7 +101,7 @@ def _make_fwd_kernel(tiles_x: int):
         tri = _tri(False)
 
         def body(kb, carry):
-            tlog, ncontrib, r, g, b, ivd, acc = carry
+            tlog, ncontrib, rgb, ivd, acc = carry
             all_done = jnp.all(tlog < LOG_EPS)
 
             def live(_):
@@ -117,30 +117,34 @@ def _make_fwd_kernel(tiles_x: int):
                 t_excl = jnp.exp(tlog + cum - log_om)
                 w = jnp.where(include, alpha * t_excl, 0.0)
 
-                def acc_ch(cidx):
-                    return jnp.sum(w * attrs_ref[0, cidx, sl][None, :],
-                                   axis=1, keepdims=True)
-
+                # Color accumulation on the MXU: contract the [P,KB] weights
+                # against the [3,KB] color rows (no transposes needed).
+                c3k = attrs_ref[0, pl.ds(CR, 3), sl]       # [3, KB]
+                rgb_n = rgb + jax.lax.dot_general(
+                    w, c3k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [P, 3]
+                ivd_n = ivd + jnp.sum(
+                    w * attrs_ref[0, ID, sl][None, :], axis=1, keepdims=True)
                 return (tlog + jnp.sum(jnp.where(include, log_om, 0.0),
                                        axis=1, keepdims=True),
                         ncontrib + jnp.sum(include.astype(jnp.float32),
                                            axis=1, keepdims=True),
-                        r + acc_ch(CR), g + acc_ch(CG), b + acc_ch(CB_),
-                        ivd + acc_ch(ID),
+                        rgb_n, ivd_n,
                         acc + jnp.sum(w, axis=1, keepdims=True))
 
             return jax.lax.cond(all_done, lambda _: carry, live, None)
 
         z = jnp.zeros((P, 1), jnp.float32)
-        tlog, nc, r, g, b, ivd, acc = jax.lax.fori_loop(
-            0, n_blocks, body, (z, z, z, z, z, z, z))
+        z3 = jnp.zeros((P, 3), jnp.float32)
+        tlog, nc, rgb, ivd, acc = jax.lax.fori_loop(
+            0, n_blocks, body, (z, z, z3, z, z))
 
         t_final = jnp.exp(tlog)
-        r = r + t_final * bg_ref[0, 0]
-        g = g + t_final * bg_ref[0, 1]
-        b = b + t_final * bg_ref[0, 2]
+        rgb = rgb + jnp.concatenate(
+            [t_final * bg_ref[0, 0], t_final * bg_ref[0, 1],
+             t_final * bg_ref[0, 2]], axis=1)
         pad = jnp.zeros((P, 1), jnp.float32)
-        out = jnp.concatenate([r, g, b, ivd, acc, tlog, nc, pad],
+        out = jnp.concatenate([rgb, ivd, acc, tlog, nc, pad],
                               axis=1)                  # [P, 8]
         out_ref[0] = out.T
 
@@ -184,8 +188,12 @@ def _make_bwd_kernel(tiles_x: int):
                 w = alpha_i * t_excl
 
                 ch = lambda cidx: attrs_ref[0, cidx, sl][None, :]
-                pg = (g_r * ch(CR) + g_g * ch(CG) + g_b * ch(CB_)
-                      + g_ivd * ch(ID) + g_acc)        # [P, KB]
+                c3k = attrs_ref[0, pl.ds(CR, 3), sl]   # [3, KB]
+                g3p = g_ref[0, pl.ds(OR, 3), :]        # [3, P]
+                pg = (jax.lax.dot_general(
+                    g3p, c3k, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                    + g_ivd * ch(ID) + g_acc)          # [P, KB]
                 wpg = w * pg
                 suf_after = (jnp.dot(wpg, tri_suf,
                                      preferred_element_type=jnp.float32)
@@ -205,9 +213,9 @@ def _make_bwd_kernel(tiles_x: int):
                 d_ca = col(g_power * (-0.5 * dx * dx))
                 d_cb = col(g_power * (-dx * dy))
                 d_cc = col(g_power * (-0.5 * dy * dy))
-                d_cr = col(w * g_r)
-                d_cg = col(w * g_g)
-                d_cb2 = col(w * g_b)
+                d_rgb = jax.lax.dot_general(
+                    g3p, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [3, KB]
                 # ∂α/∂opac = exp(power) on the unclamped branch (clamped to
                 # ≤ 0: excluded slots have g_alpha 0 anyway).
                 expp = jnp.exp(jnp.minimum(power, 0.0))
@@ -215,7 +223,7 @@ def _make_bwd_kernel(tiles_x: int):
                 d_id = col(w * g_ivd)
                 zero = jnp.zeros_like(d_mx)
                 block = jnp.concatenate(
-                    [d_mx, d_my, d_ca, d_cb, d_cc, d_cr, d_cg, d_cb2, d_op,
+                    [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op,
                      d_id, zero, zero, zero, zero, zero, zero],
                     axis=0)                            # [16, KB]
                 d_ref[0, :, sl] = block
