@@ -1,2 +1,3 @@
 from . import (calibration, chunk, colmap_db, colmap_runner, depth_decode,  # noqa: F401
-               depth_scale, matchers, reorient, virtual_cams)
+               depth_pipeline, depth_scale, inputs, matchers, mono_depth,
+               reorient, virtual_cams)

@@ -127,3 +127,55 @@ def test_multi_host_partitioning(tmp_path, monkeypatch):
     ft.full_train(tmp_path, host_id=1, num_hosts=2, skip_if_exists=True)
     assert processed == ["0_0", "2_0", "1_0"]
     assert merged_calls == [["0_0", "1_0", "2_0"]]
+
+
+def test_inputs_organization(tmp_path):
+    from street_sparse_3dgs_tpu.preprocess import inputs
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for img in ("A_f1", "A_r1", "B_f1", "B_u1"):
+        (raw / f"{img}.jpg").write_bytes(b"x")
+    n = inputs.create_inputs(raw, tmp_path / "inputs")
+    assert n == 3  # u1 not in the default 8-side set? f1,r1 in; u1 excluded
+    assert (tmp_path / "inputs/images/cam1/A.jpg").exists()
+    assert (tmp_path / "inputs/images/cam3/A.jpg").exists()  # r1 -> cam3
+    # copy to chunks
+    chunks = tmp_path / "chunks"
+    for c in ("0_0", "1_0"):
+        (chunks / c / "sparse" / "0").mkdir(parents=True)
+    f = tmp_path / "test.txt"
+    f.write_text("x")
+    assert inputs.copy_file_to_chunks(f, chunks) == 2
+    assert (chunks / "0_0/sparse/0/test.txt").exists()
+
+
+def test_depth_pipeline_local_steps(tmp_path):
+    from street_sparse_3dgs_tpu.preprocess import depth_pipeline
+    from street_sparse_3dgs_tpu import native
+
+    # vis2mesh json from a tiny model
+    cams = {1: colmap.ColmapCamera(1, "PINHOLE", 64, 48,
+                                   np.array([60.0, 60.0, 32.0, 24.0]))}
+    images = {1: colmap.ColmapImage(1, np.array([1.0, 0, 0, 0]),
+                                    np.array([1.0, 2, 3]), 1, "a.png",
+                                    np.zeros((0, 2)), np.zeros(0, np.int64))}
+    colmap.write_model(cams, images, None, tmp_path / "sparse")
+    blob = depth_pipeline.colmap_to_vis2mesh_json(tmp_path / "sparse",
+                                                  tmp_path / "v2m.json")
+    assert blob["imgs"][0]["K"][0][0] == 60.0
+    np.testing.assert_allclose(blob["imgs"][0]["C"], [-1.0, -2.0, -3.0])
+
+    # mesh -> CTM tiles roundtrip
+    rng = np.random.default_rng(0)
+    verts = np.concatenate([
+        rng.uniform(0, 50, (30, 3)),            # tile (0,0)
+        rng.uniform([150, 0, 0], [199, 50, 50], (30, 3))])  # tile (1,0)
+    tris = np.concatenate([
+        rng.integers(0, 30, (20, 3)),
+        30 + rng.integers(0, 30, (20, 3))]).astype(np.int32)
+    tiles = depth_pipeline.mesh_to_ctm_tiles(verts, tris, tmp_path / "ctm",
+                                             tile_size=100.0)
+    assert len(tiles) == 2
+    v, t = native.load_ctm(tiles[0])
+    assert v.shape[1] == 3 and t.shape[1] == 3
