@@ -38,9 +38,14 @@ def render_hierarchy_eval(
     with_breakdowns: bool = False,
     sh_degree: int = 3,
     compact: bool = True,
+    seg_dir: str | Path | None = None,
 ) -> dict:
     """Returns {tau: {psnr, ssim, lpips, imae, irmse, ...}} averaged over the
-    evaluated views; optionally writes renders to ``out_dir/renders_tau``."""
+    evaluated views; optionally writes renders to ``out_dir/renders_tau``.
+
+    ``seg_dir``: directory of color-coded segmentation masks (one per image
+    name) enabling the per-semantic-category breakdown
+    (``render_hierarchy_final.py`` CATEGORY_GROUPS)."""
     model_cfg = model_cfg or ModelConfig(eval=True)
     pipe = pipe or PipelineConfig()
     cfg = raster_config(pipe)
@@ -55,6 +60,8 @@ def render_hierarchy_eval(
         rows, weights = [], []
         band_rows = {name: [] for name, *_ in metrics.DEPTH_RANGES}
         band_weights = {name: [] for name, *_ in metrics.DEPTH_RANGES}
+        cat_rows = {name: [] for name in metrics.CATEGORY_GROUPS}
+        cat_weights = {name: [] for name in metrics.CATEGORY_GROUPS}
         for batch, caminfo in zip(stream, cams):
             cam = batch.camera
             limit = pixel_limit(tau, float(cam.tan_fovx), cam.width)
@@ -93,6 +100,27 @@ def render_hierarchy_eval(
                         "ssim": metrics.ssim_masked(image, gt, bmask)})
                     band_weights[name].append(float(bmask.sum()))
 
+            if seg_dir is not None:
+                from PIL import Image as PILImage
+
+                stem = caminfo.image_name.rsplit(".", 1)[0]
+                seg_path = Path(seg_dir) / f"{stem}.png"
+                if seg_path.exists():
+                    seg = np.asarray(
+                        PILImage.open(seg_path).convert("RGB").resize(
+                            (image.shape[2], image.shape[1])),
+                        np.float32).transpose(2, 0, 1) / 255.0
+                    cats = metrics.category_masks(seg,
+                                                  metrics.CATEGORY_GROUPS)
+                    for name, cmask in cats.items():
+                        cmask = cmask * (mask > 0)
+                        if cmask.sum() < 16:
+                            continue
+                        cat_rows[name].append({
+                            "psnr": metrics.psnr_masked(image, gt, cmask),
+                            "ssim": metrics.ssim_masked(image, gt, cmask)})
+                        cat_weights[name].append(float(cmask.sum()))
+
             if out_dir is not None:
                 from PIL import Image
 
@@ -109,6 +137,11 @@ def render_hierarchy_eval(
                 name: metrics.aggregate_pixel_weighted(band_rows[name],
                                                        band_weights[name])
                 for name in band_rows if band_rows[name]}
+        if seg_dir is not None:
+            agg["categories"] = {
+                name: metrics.aggregate_pixel_weighted(cat_rows[name],
+                                                       cat_weights[name])
+                for name in cat_rows if cat_rows[name]}
         results[tau] = agg
         msg = " ".join(f"{k.upper()}: {v:.5f}" for k, v in agg.items()
                        if isinstance(v, float))
