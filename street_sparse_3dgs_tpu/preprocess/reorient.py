@@ -95,3 +95,54 @@ def auto_reorient(input_sparse, output_sparse, target_med_dist: float = 20.0,
     new_images, new_pts = apply_transform(images, pts, rot, upscale)
     colmap.write_model(cams, new_images, new_pts, output_sparse)
     return rot, upscale
+
+
+def simplify_images(input_sparse, output_sparse,
+                    outlier_factor: float = 10.0):
+    """``preprocess/simplify_images.py`` equivalent: drop cameras without SfM
+    points and 3D points farther than ``outlier_factor`` × the median
+    nearest-neighbor distance from their closest neighbor."""
+    cams, images, pts = colmap.read_model(input_sparse)
+    kept_images = {k: im for k, im in images.items()
+                   if (im.point3D_ids >= 0).sum() > 0}
+
+    new_pts = pts
+    if pts is not None and pts.xyz.shape[0] > 3:
+        xyz = pts.xyz
+        # Median NN distance on a subsample (simplify_images uses the full
+        # cloud; a 50k subsample keeps this O(n·m) step bounded).
+        sub = xyz[np.random.default_rng(0).permutation(len(xyz))[:50_000]]
+        d2 = ((xyz[:, None, :3] - sub[None, :, :3]) ** 2).sum(-1) \
+            if len(xyz) * len(sub) <= 25_000_000 else None
+        if d2 is None:
+            # blocked NN against the subsample
+            nn = np.empty(len(xyz))
+            for i in range(0, len(xyz), 4096):
+                blk = ((xyz[i:i + 4096, None, :] - sub[None, :, :]) ** 2
+                       ).sum(-1)
+                blk[blk <= 1e-12] = np.inf
+                nn[i:i + 4096] = np.sqrt(blk.min(axis=1))
+        else:
+            d2[d2 <= 1e-12] = np.inf
+            nn = np.sqrt(d2.min(axis=1))
+        med = np.median(nn)
+        keep = nn <= outlier_factor * med
+        keep_ids = set(int(p) for p in pts.ids[keep])
+        new_pts = colmap.ColmapPoints(
+            xyz=pts.xyz[keep], rgb=pts.rgb[keep], error=pts.error[keep],
+            ids=pts.ids[keep],
+            track_image_ids=[t for t, k in zip(pts.track_image_ids, keep)
+                             if k] if pts.track_image_ids else None,
+            track_point2d_idxs=[t for t, k in
+                                zip(pts.track_point2d_idxs, keep)
+                                if k] if pts.track_point2d_idxs else None)
+        # Strip dropped points from the per-image match lists.
+        kept_images = {
+            k: colmap.ColmapImage(
+                im.id, im.qvec, im.tvec, im.camera_id, im.name,
+                im.xys[[int(p) in keep_ids for p in im.point3D_ids]],
+                im.point3D_ids[[int(p) in keep_ids
+                                for p in im.point3D_ids]])
+            for k, im in kept_images.items()}
+    colmap.write_model(cams, kept_images, new_pts, output_sparse)
+    return len(kept_images), 0 if new_pts is None else len(new_pts.ids)

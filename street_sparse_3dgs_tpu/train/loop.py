@@ -26,8 +26,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, OptimizationConfig, PipelineConfig
 from ..models import adam, densify
-from ..models.gaussians import (GaussianMeta, GaussianParams,
-                                clamp_big_gaussians)
+from ..models.gaussians import GaussianMeta, GaussianParams
 from .step import CameraBatch, TrainState, make_train_step
 
 
@@ -53,13 +52,6 @@ def _densify_jit(key, state: TrainState, meta: GaussianMeta,
 @functools.partial(jax.jit, static_argnames=("meta",))
 def _reset_opacity_jit(state: TrainState, meta: GaussianMeta):
     return state._replace(params=densify.reset_opacity(state.params, meta))
-
-
-@functools.partial(jax.jit, static_argnames=("meta", "fraction"))
-def _clamp_jit(state: TrainState, meta: GaussianMeta, fraction: float,
-               extent):
-    return state._replace(params=clamp_big_gaussians(
-        state.params, meta, extent, fraction, state.active))
 
 
 def grow_capacity(state: TrainState, meta: GaussianMeta,
@@ -137,12 +129,21 @@ def train_loop(
     ema = EmaMeter()
     progress_every = max(1, min(500, iterations // 10))
 
-    step_photo = make_train_step(
-        meta, opt, pipe, spatial_lr_scale,
-        is_depth_only=False, use_trained_exp=not coarse_mode,
-        optimize_xyz=not coarse_mode,
-        zero_scaling_grads_for_skybox=coarse_mode,
-        additional_depth_maps_weight=model_cfg.additional_depth_maps_weight)
+    fold_clamp = not model_cfg.skip_scale_big_gauss
+    clamp_frac = 0.1 if coarse_mode else clamp_fraction
+
+    def build_photo_step(meta_):
+        return make_train_step(
+            meta_, opt, pipe, spatial_lr_scale,
+            is_depth_only=False, use_trained_exp=not coarse_mode,
+            optimize_xyz=not coarse_mode,
+            zero_scaling_grads_for_skybox=coarse_mode,
+            additional_depth_maps_weight=(
+                model_cfg.additional_depth_maps_weight),
+            clamp_extent=float(cameras_extent) if fold_clamp else None,
+            clamp_fraction=clamp_frac)
+
+    step_photo = build_photo_step(meta)
     step_depth = None  # built lazily on the first depth-only batch
 
     stats = {"losses": [], "n_active": [], "overflows": 0}
@@ -162,17 +163,21 @@ def train_loop(
                 step_depth = make_train_step(
                     meta, opt, pipe, spatial_lr_scale, is_depth_only=True,
                     additional_depth_maps_weight=(
-                        model_cfg.additional_depth_maps_weight))
+                        model_cfg.additional_depth_maps_weight),
+                    clamp_extent=float(cameras_extent) if fold_clamp
+                    else None, clamp_fraction=clamp_frac)
             state, aux = step_depth(state, batch)
         else:
             state, aux = step_photo(state, batch)
 
         if hooks.on_step is not None:
             hooks.on_step(it, state, aux)
-        loss_val = float(aux["loss"])
-        stats["losses"].append(loss_val)
-        ema.update(loss_val)
+        # Device scalars are kept unsynced; only the periodic progress line
+        # forces a host round-trip (the per-step float() sync costs more
+        # than the math at small resolutions).
+        stats["losses"].append(aux["loss"])
         if it % progress_every == 0:
+            ema.update(float(aux["loss"]))
             print(f"  it {it}/{iterations} loss(ema) {ema.value:.5f} "
                   f"visible {int(aux['n_visible'])}")
 
@@ -196,13 +201,7 @@ def train_loop(
                 state, meta = grow_capacity(
                     state, meta, max(meta.capacity * 2,
                                      meta.capacity + int(overflow)))
-                step_photo = make_train_step(
-                    meta, opt, pipe, spatial_lr_scale,
-                    is_depth_only=False, use_trained_exp=not coarse_mode,
-                    optimize_xyz=not coarse_mode,
-                    zero_scaling_grads_for_skybox=coarse_mode,
-                    additional_depth_maps_weight=(
-                        model_cfg.additional_depth_maps_weight))
+                step_photo = build_photo_step(meta)
                 step_depth = None
             stats["n_active"].append(int(n_active))
             if hooks.on_densify is not None:
@@ -221,10 +220,7 @@ def train_loop(
                     opacity_raw=jnp.zeros_like(
                         state.adam_state.nu.opacity_raw))))
 
-        if not model_cfg.skip_scale_big_gauss:
-            state = _clamp_jit(state, meta,
-                               0.1 if coarse_mode else clamp_fraction,
-                               jnp.float32(cameras_extent))
+        # (big-Gaussian clamp is fused into the step when fold_clamp.)
 
         if it in hooks.checkpoint_iterations:
             if hooks.on_checkpoint:
@@ -237,4 +233,5 @@ def train_loop(
                         Path(model_cfg.model_path) / f"chkpnt{it}.npz",
                         state, meta, it)
 
+    stats["losses"] = [float(v) for v in stats["losses"]]
     return state, meta, stats

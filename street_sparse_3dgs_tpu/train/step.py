@@ -83,6 +83,8 @@ def make_train_step(
     optimize_xyz: bool = True,
     additional_depth_maps_weight: float = 0.9,
     zero_scaling_grads_for_skybox: bool = False,
+    clamp_extent: float | None = None,
+    clamp_fraction: float = 0.02,
 ):
     """Build the jitted step for one training mode.
 
@@ -95,7 +97,11 @@ def make_train_step(
       - ``zero_scaling_grads_for_skybox``: coarse stage
         (``train_coarse.py:132``);
       - ``use_trained_exp``: per-image exposure affine applied post-render
-        (``gaussian_renderer/__init__.py:115-118``).
+        (``gaussian_renderer/__init__.py:115-118``);
+      - ``clamp_extent``: when set, the per-iteration big-Gaussian scale
+        clamp (×0.8 above ``clamp_fraction·extent``, ``train_single.py:
+        235-241``) is fused into the step — one dispatch per iteration
+        instead of two.
     """
     cfg = raster_config(pipe)
     max_sh = meta.sh_degree
@@ -203,6 +209,12 @@ def make_train_step(
         max_radii2d = jnp.where(visible,
                                 jnp.maximum(state.max_radii2d, out["radii"]),
                                 state.max_radii2d)
+
+        if clamp_extent is not None:
+            from ..models.gaussians import clamp_big_gaussians
+
+            new_params = clamp_big_gaussians(
+                new_params, meta, clamp_extent, clamp_fraction, state.active)
 
         new_state = TrainState(
             params=new_params, active=state.active, adam_state=new_adam,

@@ -284,3 +284,20 @@ def test_ctm_exporter_native(tmp_path):
     # The compiled library was actually used (unless no compiler, in which
     # case the fallback still produced identical bytes).
     assert out.stat().st_size > 12 * (50 + 30)
+
+
+def test_simplify_images(tmp_path):
+    cams, images, pts = grid_model(n_cams=6, n_pts=100, spread=20.0)
+    # One camera without points; one far outlier point.
+    images[99] = colmap.ColmapImage(99, np.array([1.0, 0, 0, 0]),
+                                    np.zeros(3), 1, "empty.png",
+                                    np.zeros((0, 2)), np.zeros(0, np.int64))
+    pts.xyz[0] = [1e5, 1e5, 1e5]
+    src, dst = tmp_path / "in", tmp_path / "out"
+    colmap.write_model(cams, images, pts, src)
+    n_img, n_pts = reorient.simplify_images(src, dst)
+    assert n_img == 6           # the empty camera dropped
+    assert n_pts == 99          # the outlier dropped
+    _, im2, p2 = colmap.read_model(dst)
+    assert all((im.point3D_ids >= 0).sum() > 0 for im in im2.values())
+    assert 0 not in set(int(i) for i in p2.ids)
