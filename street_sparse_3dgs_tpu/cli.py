@@ -13,7 +13,6 @@ scripts (``train_single.py:260-261``).
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 from pathlib import Path
 

@@ -20,14 +20,13 @@ The ``Scene`` / ``dataset_readers`` / ``camera_utils`` layer of the reference
 from __future__ import annotations
 
 import json
-import math
 from dataclasses import dataclass, field
 from pathlib import Path
 
 import numpy as np
 
 from ..config import ModelConfig
-from ..core.camera import CameraParams, focal2fov, make_camera
+from ..core.camera import focal2fov, make_camera
 from ..train.step import CameraBatch as _CameraBatchBase
 from . import colmap
 from .ply import fetch_point_cloud, store_point_cloud

@@ -19,7 +19,6 @@ from ..config import ModelConfig, PipelineConfig
 from ..data.scene import CameraStream, load_scene_info
 from ..hierarchy.render import render_cut
 from ..hierarchy.structure import Hierarchy, pixel_limit, select_cut
-from ..ops.rasterize import RasterConfig
 from ..train.step import raster_config
 from . import metrics
 

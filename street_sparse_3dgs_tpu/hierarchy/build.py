@@ -27,7 +27,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..models.gaussians import GaussianParams, inverse_sigmoid
+from ..models.gaussians import GaussianParams
 from .structure import Hierarchy
 
 _EPS = 1e-12

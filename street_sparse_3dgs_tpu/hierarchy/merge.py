@@ -22,11 +22,6 @@ from .build import _covariances, _merge_pairs, _rotmat_to_quat
 from .structure import Hierarchy
 
 
-def _concat_params(parts: list[GaussianParams]) -> GaussianParams:
-    return GaussianParams(*(jnp.concatenate(leaves, axis=0)
-                            for leaves in zip(*parts)))
-
-
 def merge_hierarchies(chunks: list[Hierarchy]) -> Hierarchy:
     if len(chunks) == 1:
         return chunks[0]

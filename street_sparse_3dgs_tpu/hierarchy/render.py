@@ -23,7 +23,7 @@ from ..core.camera import CameraParams
 from ..core.quaternion import align_sign
 from ..models.gaussians import GaussianParams, sh_coeffs
 from ..ops.rasterize import RasterConfig, rasterize
-from .structure import Cut, Hierarchy
+from .structure import Cut
 
 
 def blend_cut(params: GaussianParams, cut: Cut, n_nodes: int,

@@ -27,7 +27,7 @@ from ..core.camera import CameraParams
 from .binning import bin_gaussians, num_tiles
 from .blend import blend_tiles
 from .oracle import render_oracle
-from .preprocess import Projected, project_gaussians
+from .preprocess import project_gaussians
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,7 +38,7 @@ from ..data.scene import CameraStream, load_scene_info
 from ..hierarchy.build import build_hierarchy
 from ..hierarchy.io import load_hierarchy, save_hierarchy
 from ..hierarchy.merge import merge_hierarchies
-from ..models.gaussians import GaussianMeta, create_from_pcd
+from ..models.gaussians import create_from_pcd
 from ..models.serialize import load_scene_ply, save_scene
 from ..train.loop import train_loop
 from ..train.post import make_post_step, random_limit, init_post_state

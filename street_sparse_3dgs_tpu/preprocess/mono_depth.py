@@ -20,7 +20,6 @@ frame is ``preprocess/depth_scale.py``'s job, as in the reference).
 from __future__ import annotations
 
 import os
-import shutil
 import subprocess
 from pathlib import Path
 

@@ -17,7 +17,6 @@ is the masked sparse Adam with an all-rows mask.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple
 
