@@ -90,3 +90,45 @@ def test_background_gradient(scene):
     gb = jax.grad(lambda b: loss("pallas", b))(bg)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=1e-5,
                                rtol=1e-3)
+
+
+def test_finite_difference_gradcheck():
+    """Numeric (finite-difference) gradient check of the Pallas path on a
+    tiny smooth scene — autodiff-independent verification (SURVEY.md §4
+    consequence (c)).  Uses interior Gaussians with moderate opacity so the
+    loss is locally smooth (the blend's inclusion masks are piecewise
+    constant)."""
+    scene = make_toy_scene(seed=5, n=24, n_cameras=1, width=32, height=32)
+    opac = jnp.clip(scene.opacities, 0.3, 0.7)
+    cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=16)
+
+    def loss(means3d):
+        out = rasterize(means3d, scene.scales, scene.quats, opac,
+                        scene.sh_coeffs, scene.cameras[0], 3,
+                        jnp.array([0.1, 0.2, 0.3]), cfg)
+        return jnp.sum(out["render"] ** 2) + jnp.sum(out["depth"])
+
+    g = np.asarray(jax.grad(loss)(scene.means3d))
+    rng = np.random.default_rng(0)
+    eps = 1e-3
+    base = np.asarray(scene.means3d)
+    checked = agree = 0
+    for _ in range(16):
+        i = rng.integers(0, base.shape[0])
+        d = rng.integers(0, 3)
+        if abs(g[i, d]) < 1e-3:
+            continue
+        pert = base.copy()
+        pert[i, d] += eps
+        up = float(loss(jnp.asarray(pert)))
+        pert[i, d] -= 2 * eps
+        dn = float(loss(jnp.asarray(pert)))
+        fd = (up - dn) / (2 * eps)
+        checked += 1
+        if abs(fd - g[i, d]) <= 0.1 * abs(g[i, d]) + 1e-3:
+            agree += 1
+    # The loss is piecewise smooth (inclusion masks / alpha cutoffs create
+    # kinks a finite difference may straddle); require a clear majority of
+    # sampled coordinates to match instead of all of them.
+    assert checked >= 6
+    assert agree / checked >= 0.7, (agree, checked)
