@@ -180,6 +180,14 @@ def train_loop(
             ema.update(float(aux["loss"]))
             print(f"  it {it}/{iterations} loss(ema) {ema.value:.5f} "
                   f"visible {int(aux['n_visible'])}")
+            # No silent caps: surface binning overflow (raise max_dup /
+            # tile_capacity in PipelineConfig when these fire).
+            dup = int(aux.get("dup_overflow", 0))
+            tile = int(aux.get("tile_overflow", 0))
+            if dup or tile:
+                print(f"  WARNING: binning overflow dup={dup} tile={tile} "
+                      "(rendered image is missing contributions; raise "
+                      "max_dup/tile_capacity)")
 
         # --- densification cadence -----------------------------------------
         if (densify_enabled and it < opt.densify_until_iter
