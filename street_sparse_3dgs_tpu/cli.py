@@ -20,6 +20,24 @@ from . import config as cfg_mod
 from .config import ModelConfig, OptimizationConfig, PipelineConfig
 
 
+def _make_viewer(args, model, pipe):
+    """Construct the live-viewer hook unless disabled (binding failures —
+    e.g. a second trainer on the same port — degrade to no viewer, like
+    running the reference with a busy port would crash; we warn instead)."""
+    if args.disable_viewer:
+        return None
+    from .viewer.hook import ViewerHook
+    from .viewer.network_gui import NetworkGUI
+
+    try:
+        gui = NetworkGUI(args.ip, args.port)
+    except OSError as exc:
+        print(f"viewer disabled: cannot listen on "
+              f"{args.ip}:{args.port} ({exc})")
+        return None
+    return ViewerHook(gui, model.source_path, pipe)
+
+
 def _parse(argv, extra=()):
     parser = cfg_mod.make_parser()
     parser.add_argument("-s", dest="source_path_short", default=None)
@@ -30,6 +48,11 @@ def _parse(argv, extra=()):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
+    # Live-viewer flags (reference train scripts: --ip/--port/
+    # --disable_viewer; SIBR remote viewer dials 127.0.0.1:6009).
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--disable_viewer", action="store_true")
     for name, kw in extra:
         parser.add_argument(name, **kw)
     args, _ = parser.parse_known_args(argv)
@@ -64,10 +87,15 @@ def train_coarse(argv):
         capacity=info.points.shape[0] + skybox)
     state = init_state(params, active, len(info.train_cameras))
     stream = CameraStream(info.train_cameras, model.resolution, args.seed)
+    from .train.loop import LoopHooks
+    viewer = _make_viewer(args, model, pipe)
     state, meta, stats = train_loop(
         state, meta, stream, opt, pipe, model,
         cameras_extent=info.nerf_radius, spatial_lr_scale=info.nerf_radius,
-        densify_enabled=False, coarse_mode=True, rng_seed=args.seed)
+        densify_enabled=False, coarse_mode=True, rng_seed=args.seed,
+        hooks=LoopHooks(viewer_poll=viewer))
+    if viewer is not None:
+        viewer.close()
     save_scene(model.model_path, opt.iterations, state, meta,
                [c.image_name for c in info.train_cameras])
     cfg_mod.save_cfg_args(model.model_path, model, pipe, opt)
@@ -118,12 +146,16 @@ def train_single(argv):
     stream = CameraStream(info.train_cameras, model.resolution, args.seed,
                           train_test_exp=model.train_test_exp)
     from .train.loop import LoopHooks
+    viewer = _make_viewer(args, model, pipe)
     state, meta, stats = train_loop(
         state, meta, stream, opt, pipe, model,
         cameras_extent=info.nerf_radius, spatial_lr_scale=info.nerf_radius,
         densify_enabled=True, rng_seed=args.seed, gt_index=gt_index,
         hooks=LoopHooks(
-            checkpoint_iterations=tuple(args.checkpoint_iterations)))
+            checkpoint_iterations=tuple(args.checkpoint_iterations),
+            viewer_poll=viewer))
+    if viewer is not None:
+        viewer.close()
     save_scene(model.model_path, opt.iterations, state, meta,
                [c.image_name for c in info.train_cameras])
     cfg_mod.save_cfg_args(model.model_path, model, pipe, opt)

@@ -47,41 +47,68 @@ def make_dp_train_step(
     use_trained_exp: bool = True,
     optimize_xyz: bool = True,
     zero_scaling_grads_for_skybox: bool = False,
+    additional_depth_maps_weight: float = 0.9,
+    random_background: bool = True,
+    white_background: bool = False,
+    background_seed: int = 17,
 ):
-    """Returns a jitted ``(state, batched CameraBatch, active_sh) -> (state,
-    aux)`` step.  Every array in the batch has a leading B axis sharded over
-    ``data``; B must be a multiple of the data-axis size."""
+    """Returns a jitted ``(state, batched CameraBatch, active_sh,
+    depth_flags) -> (state, aux)`` step.  Every array in the batch has a
+    leading B axis sharded over ``data``; B must be a multiple of the
+    data-axis size.
+
+    ``depth_flags`` (optional [B] bool) marks depth-only virtual-LiDAR views
+    inside a mixed batch: those views contribute the hinge+pure depth loss
+    (``train_single.py:145-161``) instead of the photometric loss.  The
+    selection is a per-view ``where`` on the scalar loss, so feature and
+    exposure gradients from depth-only views vanish exactly as in the serial
+    depth-only step (the depth channel does not depend on SH color or on the
+    exposure affine).
+
+    The per-view random background mirrors the reference's per-iteration
+    ``torch.rand(3)`` (``train_single.py:74``); every view in the batch gets
+    its own draw, deterministic in (seed, step, view-slot) so each chip
+    computes its shard without host round-trips."""
     cfg = raster_config(pipe)
+    bg_key = jax.random.PRNGKey(background_seed)
+    fixed_bg = (jnp.ones((3,), jnp.float32) if white_background
+                else jnp.zeros((3,), jnp.float32))
+    w_add = additional_depth_maps_weight
 
     def loss_one(params, active, exposure_row, mean2d_res, batch: CameraBatch,
-                 active_sh, depth_w):
+                 active_sh, depth_w, bg, depth_flag):
         out = rasterize(
             params.xyz, activate_scales(params), params.quats,
             activate_opacity(params, meta), sh_coeffs(params), batch.camera,
-            active_sh, jnp.zeros((3,), jnp.float32), cfg,
+            active_sh, bg, cfg,
             active_mask=active, mean2d_residual=mean2d_res)
         image = out["render"]
         if use_trained_exp:
             image = apply_exposure(image, exposure_row)
         image = jnp.clip(image, 0.0, 1.0)
-        loss = losses.photometric(image * batch.alpha_mask, batch.gt_image,
-                                  opt.lambda_dssim)
+        photo = losses.photometric(image * batch.alpha_mask, batch.gt_image,
+                                   opt.lambda_dssim)
         pure = losses.depth_l1(out["depth"], batch.mono_invdepth,
                                batch.depth_mask)
-        loss = loss + jnp.where(batch.depth_reliable, depth_w * pure, 0.0)
+        photo = photo + jnp.where(batch.depth_reliable, depth_w * pure, 0.0)
+        hinge = losses.depth_hinge(out["depth"], batch.mono_invdepth)
+        donly = depth_w * (w_add * hinge + (1.0 - w_add) * pure)
+        donly = jnp.where(batch.depth_reliable, donly, 0.0)
+        loss = jnp.where(depth_flag, donly, photo)
         return loss, (out["visibility"], out["radii"])
 
     def batched_loss(params, active, exposure, mean2d_res, batch, active_sh,
-                     depth_w):
+                     depth_w, bgs, depth_flags):
         exposure_rows = exposure[batch.image_index]          # [B, 3, 4]
         lv, (vis, radii) = jax.vmap(
-            loss_one, in_axes=(None, None, 0, 0, 0, None, None))(
+            loss_one, in_axes=(None, None, 0, 0, 0, None, None, 0, 0))(
                 params, active, exposure_rows, mean2d_res, batch, active_sh,
-                depth_w)
+                depth_w, bgs, depth_flags)
         return jnp.mean(lv), (vis, radii)
 
     @functools.partial(jax.jit, static_argnames=("active_sh",))
-    def step_fn(state: TrainState, batch: CameraBatch, active_sh: int = None):
+    def step_fn(state: TrainState, batch: CameraBatch, active_sh: int = None,
+                depth_flags: jnp.ndarray | None = None):
         active_sh_ = meta.sh_degree if active_sh is None else active_sh
         it = state.step + 1
         xyz_lr = expon_lr(it, opt.position_lr_init * spatial_lr_scale,
@@ -100,11 +127,17 @@ def make_dp_train_step(
         capacity = state.params.xyz.shape[0]
         b = batch.image_index.shape[0]
         mean2d_res = jnp.zeros((b, capacity, 2), jnp.float32)
+        if depth_flags is None:
+            depth_flags = jnp.zeros((b,), bool)
+        if random_background:
+            bgs = jax.random.uniform(jax.random.fold_in(bg_key, it), (b, 3))
+        else:
+            bgs = jnp.broadcast_to(fixed_bg, (b, 3))
 
         (loss, (vis, radii)), grads = jax.value_and_grad(
             batched_loss, argnums=(0, 2, 3), has_aux=True)(
                 state.params, state.active, state.exposure, mean2d_res,
-                batch, active_sh_, depth_w)
+                batch, active_sh_, depth_w, bgs, depth_flags)
         g_params, g_exposure, g_screen = grads
 
         rows = jnp.arange(capacity)

@@ -98,6 +98,10 @@ class LoopHooks:
     on_densify: Callable | None = None       # (it, n_active) -> None
     checkpoint_iterations: tuple = ()
     on_checkpoint: Callable | None = None    # (it, state, meta) -> None
+    # Live viewer: a ViewerHook (viewer/hook.py), polled at the top of every
+    # iteration with the current state like the reference
+    # (``train_single.py:80-97``).
+    viewer_poll: Callable | None = None      # (state, meta, done, bg) -> bool
 
 
 def train_loop(
@@ -141,13 +145,17 @@ def train_loop(
             additional_depth_maps_weight=(
                 model_cfg.additional_depth_maps_weight),
             clamp_extent=float(cameras_extent) if fold_clamp else None,
-            clamp_fraction=clamp_frac)
+            clamp_fraction=clamp_frac,
+            random_background=True,
+            white_background=model_cfg.white_background,
+            background_seed=rng_seed + 17)
 
     step_photo = build_photo_step(meta)
     step_depth = None  # built lazily on the first depth-only batch
 
     stats = {"losses": [], "n_active": [], "overflows": 0}
     it = 0
+    last_bg = None
     batch_iter = iter(batches)
     while it < iterations:
         try:
@@ -157,6 +165,9 @@ def train_loop(
             batch = next(batch_iter)
         it += 1
 
+        if hooks.viewer_poll is not None:
+            hooks.viewer_poll(state, meta, it >= iterations, last_bg)
+
         is_depth_only = bool(getattr(batch, "is_depth_only", False))
         if is_depth_only:
             if step_depth is None:
@@ -165,11 +176,15 @@ def train_loop(
                     additional_depth_maps_weight=(
                         model_cfg.additional_depth_maps_weight),
                     clamp_extent=float(cameras_extent) if fold_clamp
-                    else None, clamp_fraction=clamp_frac)
+                    else None, clamp_fraction=clamp_frac,
+                    random_background=True,
+                    white_background=model_cfg.white_background,
+                    background_seed=rng_seed + 17)
             state, aux = step_depth(state, batch)
         else:
             state, aux = step_photo(state, batch)
 
+        last_bg = aux.get("bg")
         if hooks.on_step is not None:
             hooks.on_step(it, state, aux)
         # Device scalars are kept unsynced; only the periodic progress line
@@ -215,8 +230,12 @@ def train_loop(
             if hooks.on_densify is not None:
                 hooks.on_densify(it, int(n_active))
 
+        # Opacity reset: at the interval, plus once at densify_from_iter on
+        # white backgrounds (reference ``train_single.py:199``).
         if (densify_enabled and it < opt.densify_until_iter
-                and it % opt.opacity_reset_interval == 0):
+                and (it % opt.opacity_reset_interval == 0
+                     or (model_cfg.white_background
+                         and it == opt.densify_from_iter))):
             state = _reset_opacity_jit(state, meta)
             # Reference also resets the sparse-Adam moments of opacity rows
             # implicitly via replace_tensor_to_optimizer (zeroed state).

@@ -62,10 +62,17 @@ def make_post_step(
     *,
     skybox_locked: bool = True,
     use_trained_exp: bool = True,
+    white_background: bool = False,
 ):
     """Returns jitted ``(state, batch, limit, exposure_row) -> (state, aux)``.
-    Topology arrays are closed over (they never change during post-opt)."""
+    Topology arrays are closed over (they never change during post-opt).
+
+    Post-opt renders against the *fixed* white/black background — unlike the
+    coarse/single stages it does not randomize per step (``train_post.py:
+    42-43,123``)."""
     cfg = raster_config(pipe)
+    bg = (jnp.ones((3,), jnp.float32) if white_background
+          else jnp.zeros((3,), jnp.float32))
     n_nodes = h.n_nodes
     skybox_count = h.skybox_count
     total = h.n_rows
@@ -86,7 +93,7 @@ def make_post_step(
 
     def loss_fn(params, batch: CameraBatch, cut, exposure_row):
         out = render_cut(params, cut, n_nodes, skybox_count, batch.camera,
-                         sh_degree, jnp.zeros((3,), jnp.float32), cfg)
+                         sh_degree, bg, cfg)
         image = out["render"]
         if use_trained_exp:
             image = apply_exposure(image, exposure_row)

@@ -85,6 +85,9 @@ def make_train_step(
     zero_scaling_grads_for_skybox: bool = False,
     clamp_extent: float | None = None,
     clamp_fraction: float = 0.02,
+    random_background: bool = True,
+    white_background: bool = False,
+    background_seed: int = 17,
 ):
     """Build the jitted step for one training mode.
 
@@ -101,17 +104,26 @@ def make_train_step(
       - ``clamp_extent``: when set, the per-iteration big-Gaussian scale
         clamp (×0.8 above ``clamp_fraction·extent``, ``train_single.py:
         235-241``) is fused into the step — one dispatch per iteration
-        instead of two.
+        instead of two;
+      - ``random_background``: a fresh uniform [0,1)³ background per
+        iteration, drawn in-step from a PRNG key folded with the step
+        counter (the reference draws ``torch.rand(3)`` every step:
+        ``train_coarse.py:62``, ``train_single.py:74``) — this is what stops
+        opacity from exploiting a fixed background; ``white_background``
+        selects the fixed color when it's off (eval / post-opt semantics).
     """
     cfg = raster_config(pipe)
     max_sh = meta.sh_degree
+    bg_key = jax.random.PRNGKey(background_seed)
+    fixed_bg = (jnp.ones((3,), jnp.float32) if white_background
+                else jnp.zeros((3,), jnp.float32))
 
     def render_with(params, active, exposure_row, mean2d_res, batch,
-                    active_sh):
+                    active_sh, bg):
         out = rasterize(
             params.xyz, activate_scales(params), params.quats,
             activate_opacity(params, meta), sh_coeffs(params), batch.camera,
-            active_sh, jnp.zeros((3,), jnp.float32), cfg,
+            active_sh, bg, cfg,
             active_mask=active, mean2d_residual=mean2d_res)
         image = out["render"]
         if use_trained_exp and not is_depth_only:
@@ -120,9 +132,9 @@ def make_train_step(
         return image, out
 
     def loss_fn(params, exposure_row, mean2d_res, active, batch,
-                active_sh, depth_w):
+                active_sh, depth_w, bg):
         image, out = render_with(params, active, exposure_row, mean2d_res,
-                                 batch, active_sh)
+                                 batch, active_sh, bg)
         inv_depth = out["depth"]
         if is_depth_only:
             pure = losses.depth_l1(inv_depth, batch.mono_invdepth,
@@ -160,11 +172,15 @@ def make_train_step(
         capacity = state.params.xyz.shape[0]
         mean2d_res = jnp.zeros((capacity, 2), jnp.float32)
         exposure_row = state.exposure[batch.image_index]
+        if random_background:
+            bg = jax.random.uniform(jax.random.fold_in(bg_key, it), (3,))
+        else:
+            bg = fixed_bg
 
         (loss, (image, out)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
                 state.params, exposure_row, mean2d_res, state.active,
-                batch, active_sh, depth_w)
+                batch, active_sh, depth_w, bg)
         g_params, g_exposure_row, g_screen = grads
 
         # --- Grad masking ---------------------------------------------------
@@ -221,7 +237,7 @@ def make_train_step(
             exposure=new_exposure, exposure_adam=new_exp_adam,
             grad_accum=grad_accum, denom=denom, max_radii2d=max_radii2d,
             step=it)
-        aux = {"loss": loss, "image": image,
+        aux = {"loss": loss, "image": image, "bg": bg,
                "n_visible": jnp.sum(visible),
                "dup_overflow": out["dup_overflow"],
                "tile_overflow": out["tile_overflow"]}

@@ -128,10 +128,16 @@ class NetworkGUI:
     def poll(self, render_fn, source_path: str,
              training_done: bool = False) -> bool:
         """One training-loop iteration of the viewer protocol
-        (``train_single.py:81-98``): accept a connection if pending, answer
-        one request by rendering, drop the connection on errors or when the
-        viewer lets go.  Returns the viewer's do_training flag (False never
-        pauses training here unless the caller honors it)."""
+        (``train_single.py:80-97``): accept a connection if pending, then
+        serve requests until the viewer releases the loop.  The reference's
+        break rule: return to training when ``do_training`` and (training is
+        not finished, or the viewer did not ask to be kept alive) — so a
+        paused viewer (``do_training=False``) is served continuously, and
+        after the final iteration a keep-alive viewer keeps getting frames.
+        ``render_fn(req)`` renders one frame ([3,H,W] float in [0,1]);
+        ``req.keep_alive`` selects RGB vs depth on the reference
+        (``train_single.py:88-92``) — the callback decides.  Returns the
+        last do_training flag."""
         if self.conn is None:
             self.try_connect()
         do_training = True
@@ -143,8 +149,8 @@ class NetworkGUI:
                     image = render_fn(req)
                     do_training = req.do_training
                 self.send(image, source_path)
-                if req is None or (do_training and not req.keep_alive) \
-                        or training_done:
+                if req is None or (do_training and
+                                   (not training_done or not req.keep_alive)):
                     break
             except Exception:
                 traceback.print_exc()

@@ -261,3 +261,50 @@ def test_gt_constraint_prunes_far_points():
     live_xyz = np.asarray(res.params.xyz)[np.asarray(res.active)]
     for f in far:
         assert not np.any(np.all(np.abs(live_xyz - f) < 1e-5, axis=-1))
+
+
+def test_random_background_per_step(toy):
+    """The reference draws bg = rand(3) every iteration (train_single.py:74);
+    our step draws it in-program from the step counter.  Check: bg differs
+    across steps, stays in [0,1), lands on bg-only pixels, and the fixed
+    white/black variants honor white_background."""
+    scene, gts = toy
+    params, active, meta = init_model(scene)
+    opt = OptimizationConfig(iterations=50)
+    pipe = PipelineConfig(tile_capacity=600)
+    state = init_state(params, active, n_images=len(gts))
+    batches = make_batches(scene, gts)
+
+    step = make_train_step(meta, opt, pipe, spatial_lr_scale=1.0,
+                           random_background=True, use_trained_exp=False)
+    s1, aux1 = step(state, batches[0])
+    s2, aux2 = step(s1, batches[0])
+    bg1, bg2 = np.asarray(aux1["bg"]), np.asarray(aux2["bg"])
+    assert not np.allclose(bg1, bg2)
+    for bg in (bg1, bg2):
+        assert (bg >= 0.0).all() and (bg < 1.0).all()
+    # Where nothing renders (alpha==0) the image equals the background.
+    cfg = RasterConfig(tile_capacity=600)
+    out = rasterize(state.params.xyz,
+                    jnp.exp(state.params.log_scales), state.params.quats,
+                    jax.nn.sigmoid(state.params.opacity_raw[:, 0]),
+                    jnp.concatenate([state.params.features_dc,
+                                     state.params.features_rest], axis=1),
+                    scene.cameras[0], 3, jnp.asarray(bg1), cfg,
+                    active_mask=state.active)
+    empty = np.asarray(out["alpha"]) < 1e-6
+    if empty.any():
+        img = np.asarray(out["render"])
+        for c in range(3):
+            np.testing.assert_allclose(img[c][empty], bg1[c], atol=1e-5)
+
+    step_w = make_train_step(meta, opt, pipe, spatial_lr_scale=1.0,
+                             random_background=False, white_background=True,
+                             use_trained_exp=False)
+    _, aux_w = step_w(state, batches[0])
+    np.testing.assert_allclose(np.asarray(aux_w["bg"]), 1.0)
+    step_b = make_train_step(meta, opt, pipe, spatial_lr_scale=1.0,
+                             random_background=False, white_background=False,
+                             use_trained_exp=False)
+    _, aux_b = step_b(state, batches[0])
+    np.testing.assert_allclose(np.asarray(aux_b["bg"]), 0.0)
