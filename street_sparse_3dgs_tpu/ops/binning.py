@@ -10,14 +10,23 @@ Algorithm:
      radius; it emits up to ``max_dup`` (tile, gaussian) pairs, row-major over
      its rectangle (overflow beyond ``max_dup`` tiles is counted, not silently
      dropped);
-  3. the [N·D] pair list is stably sorted by tile id — stability preserves the
-     global depth order within every tile, so no depth key is needed;
+  3. the [N·D] pair list is sorted by the packed int32 key
+     ``tile_id << ceil_log2(N) | depth_rank`` (keys are unique, so an
+     unstable sort yields exactly tile-grouped, depth-ordered pairs), with
+     the pair's ORIGINAL row index as the carried value.  A packed key +
+     one int32 value sorts ~4× faster than the stable two-operand sort on
+     TPU (v5e: ~0.8 ms vs 3.3 ms at 1M pairs).  When
+     ``log2(T+1)+log2(N) > 31`` (huge scenes) it falls back to a
+     three-operand lexicographic sort;
   4. per-tile segments are located with ``searchsorted`` and materialized as a
      fixed-capacity gather table [num_tiles, K] + validity mask (per-tile
      overflow beyond K is likewise counted).
 
-The gather table indexes into the *depth-sorted* attribute arrays; gradients
-flow back through those gathers as scatter-adds inserted by XLA.
+The gather table indexes into the *original (unsorted)* per-Gaussian
+attribute rows — consumers gather once with it and never permute the [N]
+arrays into depth order.  That keeps the backward free of permutation
+scatters: the only reverse-mode hop is the table gather's VJP (XLA
+scatter-add, or the sort-based segment reduction in ``pallas_blend``).
 """
 
 from __future__ import annotations
@@ -34,7 +43,7 @@ TILE = 16
 
 class TileBins(NamedTuple):
     order: jnp.ndarray        # [N] depth-sort permutation (into original rows)
-    gather: jnp.ndarray       # [T, K] indices into depth-sorted arrays
+    gather: jnp.ndarray       # [T, K] indices into ORIGINAL (unsorted) rows
     mask: jnp.ndarray         # [T, K] bool validity
     counts: jnp.ndarray       # [T] number of gaussians binned per tile (pre-clip)
     dup_overflow: jnp.ndarray   # scalar: tiles lost to the per-gaussian cap
@@ -85,11 +94,23 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     tile_id = (y0[:, None] + sy) * tiles_x + (x0[:, None] + sx)
     in_range = slots[None, :] < jnp.minimum(coverage, max_dup)[:, None]
     keys = jnp.where(in_range, tile_id, t_total).astype(jnp.int32).ravel()   # [N*D]
-    vals = jnp.broadcast_to(
+    ranks = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_dup)).ravel()
+    vals = jnp.broadcast_to(order[:, None], (n, max_dup)).ravel()  # orig rows
 
-    sorted_keys, sorted_vals = jax.lax.sort((keys, vals), num_keys=1,
-                                            is_stable=True)
+    rank_bits = max(1, (n - 1).bit_length())
+    if rank_bits + (t_total + 1).bit_length() <= 31:
+        # Packed keys are unique ((tile, rank) pairs are), so an unstable
+        # sort fully determines the order and the values ride along.
+        packed = (keys << rank_bits) | ranks
+        sorted_packed, sorted_vals = jax.lax.sort((packed, vals), num_keys=1,
+                                                  is_stable=False)
+        sorted_keys = sorted_packed >> rank_bits
+    else:
+        # Lexicographic (tile, depth-rank); original row follows its pair.
+        sorted_keys, _, sorted_vals = jax.lax.sort((keys, ranks, vals),
+                                                   num_keys=2,
+                                                   is_stable=False)
 
     boundaries = jnp.searchsorted(sorted_keys,
                                   jnp.arange(t_total + 1, dtype=jnp.int32))

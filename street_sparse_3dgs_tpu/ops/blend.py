@@ -26,7 +26,7 @@ from .oracle import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 def blend_tiles(
     bins: TileBins,
-    mean2d: jnp.ndarray,     # [N, 2] depth-sorted
+    mean2d: jnp.ndarray,     # [N, 2] original rows (tables bake depth order)
     conic: jnp.ndarray,      # [N, 3]
     color: jnp.ndarray,      # [N, 3]
     opacity: jnp.ndarray,    # [N]

@@ -300,6 +300,72 @@ def _blend_packed_bwd(interpret, tiles_x, res, g_out):
 _blend_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)
 
 
+def _blocked_cumsum(rows: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Inclusive prefix sum of ``rows`` [P, C] along P, as two levels of
+    triangular-ones matmuls (MXU-friendly; a lane scan would crawl)."""
+    p, c = rows.shape
+    nb = p // block
+    r = rows.reshape(nb, block, c)
+    # tri[i, j] = (j <= i): within[b, i, c] = Σ_{j≤i} r[b, j, c].
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+           >= jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+           ).astype(rows.dtype)
+    within = jax.lax.dot_general(tri, r, (((1,), (1,)), ((), ())))
+    within = jnp.swapaxes(within, 0, 1)                       # [nb, block, C]
+    totals = within[:, -1, :]                                 # [nb, C]
+    # trib[b, b'] = (b' < b): exclusive prefix of block totals.
+    trib = (jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+            > jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+            ).astype(rows.dtype)
+    offsets = jax.lax.dot_general(trib, totals,
+                                  (((1,), (0,)), ((), ())))   # [nb, C]
+    return (within + offsets[:, None, :]).reshape(p, c)
+
+
+@jax.custom_vjp
+def _gather_rows(attrs_n: jnp.ndarray, gather: jnp.ndarray) -> jnp.ndarray:
+    """``attrs_n[gather]`` with a sort-based VJP.
+
+    XLA's native VJP is a 393k-row random scatter-add — row-latency bound
+    (~6-7 ms at 512²/32k on v5e regardless of row width).  TPU sorts are
+    nearly free (~0.15-0.8 ms for 1M keys), so the backward instead sorts
+    pair grads by destination row, takes a blocked matmul prefix sum, and
+    reads each row's segment sum as a difference of two prefix rows
+    (~2 ms total).  The summation order per row is the canonical
+    (row, pair-position) order, deterministic across runs."""
+    return attrs_n[gather]
+
+
+def _gather_rows_fwd(attrs_n, gather):
+    return attrs_n[gather], (gather, attrs_n.shape[0])
+
+
+def _gather_rows_bwd(res, d):
+    gather, n = res
+    t, k, c = d.shape
+    p = t * k
+    ids = gather.reshape(p)
+    rows = d.reshape(p, c)
+    # Canonical-order sort by destination row (num_keys=2 ⇒ deterministic).
+    sorted_ids, perm = jax.lax.sort(
+        (ids, jnp.arange(p, dtype=jnp.int32)), num_keys=2, is_stable=False)
+    rows = rows[perm]
+    # Pad P to a multiple of the cumsum block.
+    block = 256
+    pad = (-p) % block
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad, c), rows.dtype)], axis=0)
+    csum = _blocked_cumsum(rows, block)[:p]
+    z = jnp.concatenate([jnp.zeros((1, c), csum.dtype), csum], axis=0)
+    bounds = jnp.searchsorted(sorted_ids, jnp.arange(n + 1, dtype=jnp.int32))
+    d_attrs = z[bounds[1:]] - z[bounds[:-1]]
+    return d_attrs, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
                       inv_depth):
     """[N,·] depth-sorted attributes + [T,K] gather table → packed
@@ -308,13 +374,13 @@ def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
     attrs_n = jnp.concatenate([
         mean2d, conic, color, opacity[:, None], inv_depth[:, None],
         jnp.zeros((n, N_CH - 10), mean2d.dtype)], axis=1)     # [N, 16]
-    attrs = jnp.swapaxes(attrs_n[gather], 1, 2)               # [T, 16, K]
+    attrs = jnp.swapaxes(_gather_rows(attrs_n, gather), 1, 2)  # [T, 16, K]
     return attrs.at[:, MK, :].set(mask.astype(attrs.dtype))
 
 
 def blend_tiles_pallas(
     bins,
-    mean2d: jnp.ndarray,     # [N, 2] depth-sorted
+    mean2d: jnp.ndarray,     # [N, 2] original rows (tables bake depth order)
     conic: jnp.ndarray,      # [N, 3]
     color: jnp.ndarray,      # [N, 3]
     opacity: jnp.ndarray,    # [N]

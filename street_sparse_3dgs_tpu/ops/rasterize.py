@@ -71,11 +71,13 @@ def rasterize(
         out["dup_overflow"] = jnp.int32(0)
         out["tile_overflow"] = jnp.int32(0)
     elif config.method == "tiled":
+        # The gather tables index original rows (depth order is baked into
+        # each tile's slot order), so no [N]-permutation happens here — the
+        # backward stays free of permutation scatters.
         bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity)
-        o = bins.order
         image, invdepth, alpha = blend_tiles(
-            bins, proj.mean2d[o], proj.conic[o], proj.color[o],
-            proj.opacity[o], proj.inv_depth[o], h, w, bg,
+            bins, proj.mean2d, proj.conic, proj.color,
+            proj.opacity, proj.inv_depth, h, w, bg,
             tiles_chunk=config.tiles_chunk)
         out["dup_overflow"] = bins.dup_overflow
         out["tile_overflow"] = bins.tile_overflow
@@ -83,10 +85,9 @@ def rasterize(
         from .pallas_blend import blend_tiles_pallas
 
         bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity)
-        o = bins.order
         image, invdepth, alpha = blend_tiles_pallas(
-            bins, proj.mean2d[o], proj.conic[o], proj.color[o],
-            proj.opacity[o], proj.inv_depth[o], h, w, bg)
+            bins, proj.mean2d, proj.conic, proj.color,
+            proj.opacity, proj.inv_depth, h, w, bg)
         out["dup_overflow"] = bins.dup_overflow
         out["tile_overflow"] = bins.tile_overflow
     else:

@@ -53,7 +53,6 @@ def rasterize_tile_sharded(
 
     h, w = camera.height, camera.width
     bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity)
-    o = bins.order
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
     t_total = tiles_x * tiles_y
     k_cap = bins.gather.shape[1]
@@ -65,16 +64,12 @@ def rasterize_tile_sharded(
     m = jnp.concatenate(
         [bins.mask, jnp.zeros((pad_t, k_cap), bool)], 0).astype(jnp.float32)
 
-    mean2d = proj.mean2d[o]
-    conic = proj.conic[o]
-    color = proj.color[o]
-    opac = proj.opacity[o]
-    invd = proj.inv_depth[o]
-
     from ..ops.pallas_blend import pack_gather_attrs
 
-    attrs = pack_gather_attrs(g, m > 0.5, mean2d, conic, color, opac,
-                              invd)                     # [T_pad, 16, K]
+    # Gather tables hold original-row indices — no depth permutation needed.
+    attrs = pack_gather_attrs(g, m > 0.5, proj.mean2d, proj.conic,
+                              proj.color, proj.opacity,
+                              proj.inv_depth)           # [T_pad, 16, K]
 
     interp = _interpret_default() if interpret is None else interpret
     t_local = (t_total + pad_t) // n_shards
