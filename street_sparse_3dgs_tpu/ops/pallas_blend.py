@@ -300,70 +300,84 @@ def _blend_packed_bwd(interpret, tiles_x, res, g_out):
 _blend_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)
 
 
-def _blocked_cumsum(rows: jnp.ndarray, block: int = 256) -> jnp.ndarray:
-    """Inclusive prefix sum of ``rows`` [P, C] along P, as two levels of
+def _blocked_cumsum_cm(rows: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Inclusive prefix sum of ``rows`` [C, M] along M, as two levels of
     triangular-ones matmuls (MXU-friendly; a lane scan would crawl)."""
-    p, c = rows.shape
-    nb = p // block
-    r = rows.reshape(nb, block, c)
-    # tri[i, j] = (j <= i): within[b, i, c] = Σ_{j≤i} r[b, j, c].
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-           >= jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-           ).astype(rows.dtype)
-    within = jax.lax.dot_general(tri, r, (((1,), (1,)), ((), ())))
-    within = jnp.swapaxes(within, 0, 1)                       # [nb, block, C]
-    totals = within[:, -1, :]                                 # [nb, C]
-    # trib[b, b'] = (b' < b): exclusive prefix of block totals.
-    trib = (jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
-            > jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-            ).astype(rows.dtype)
-    offsets = jax.lax.dot_general(trib, totals,
-                                  (((1,), (0,)), ((), ())))   # [nb, C]
-    return (within + offsets[:, None, :]).reshape(p, c)
+    c, m = rows.shape
+    pad = (-m) % block
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((c, pad), rows.dtype)], axis=1)
+    nb = (m + pad) // block
+    r = rows.reshape(c, nb, block)
+    # triT[j, i] = (j <= i): within[c, b, i] = Σ_{j≤i} r[c, b, j].
+    tri_t = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+             <= jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+             ).astype(rows.dtype)
+    within = jax.lax.dot_general(r, tri_t, (((2,), (0,)), ((), ())))
+    totals = within[:, :, -1]                                 # [C, nb]
+    # tribT[b, a] = (b < a): exclusive prefix of block totals.
+    trib_t = (jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+              < jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+              ).astype(rows.dtype)
+    offsets = jax.lax.dot_general(totals, trib_t,
+                                  (((1,), (0,)), ((), ())))   # [C, nb]
+    return (within + offsets[:, :, None]).reshape(c, m + pad)[:, :m]
 
 
 @jax.custom_vjp
-def _gather_rows(attrs_n: jnp.ndarray, gather: jnp.ndarray) -> jnp.ndarray:
-    """``attrs_n[gather]`` with a sort-based VJP.
+def _gather_pack(attrs_n: jnp.ndarray, gather: jnp.ndarray) -> jnp.ndarray:
+    """``swapaxes(attrs_n[gather], 1, 2)`` ([N, C] → [T, C, K]) with a
+    sort-based VJP.
 
     XLA's native VJP is a 393k-row random scatter-add — row-latency bound
-    (~6-7 ms at 512²/32k on v5e regardless of row width).  TPU sorts are
-    nearly free (~0.15-0.8 ms for 1M keys), so the backward instead sorts
-    pair grads by destination row, takes a blocked matmul prefix sum, and
-    reads each row's segment sum as a difference of two prefix rows
-    (~2 ms total).  The summation order per row is the canonical
-    (row, pair-position) order, deterministic across runs."""
-    return attrs_n[gather]
+    (~6-7 ms at 512²/32k on v5e regardless of row width), and its follow-up
+    ``searchsorted`` lowers to a while loop of serial HBM gathers (~4 ms).
+    The backward here is gather/scatter-free: it merges the pair grads and
+    the dense row ids into ONE multi-operand unstable sort (queries carry
+    zero channels and sort immediately before their row's pairs), takes a
+    blocked triangular-matmul prefix sum over the channels, and reads each
+    row's segment sum as the difference of the prefix at consecutive query
+    positions.  Channel columns are sliced from the [T, C, K] cotangent
+    directly, so no [P, C] transpose is materialized.  Equal-key pair order
+    is unspecified, but a fixed compiled sort network makes the summation
+    order deterministic run-to-run."""
+    return jnp.swapaxes(attrs_n[gather], 1, 2)
 
 
-def _gather_rows_fwd(attrs_n, gather):
-    return attrs_n[gather], (gather, attrs_n.shape[0])
+def _gather_pack_fwd(attrs_n, gather):
+    return _gather_pack(attrs_n, gather), (gather, attrs_n.shape[0])
 
 
-def _gather_rows_bwd(res, d):
+def _gather_pack_bwd(res, d):
     gather, n = res
-    t, k, c = d.shape
+    t, c, k = d.shape
     p = t * k
+    nq = n + 1
     ids = gather.reshape(p)
-    rows = d.reshape(p, c)
-    # Canonical-order sort by destination row (num_keys=2 ⇒ deterministic).
-    sorted_ids, perm = jax.lax.sort(
-        (ids, jnp.arange(p, dtype=jnp.int32)), num_keys=2, is_stable=False)
-    rows = rows[perm]
-    # Pad P to a multiple of the cumsum block.
-    block = 256
-    pad = (-p) % block
-    if pad:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((pad, c), rows.dtype)], axis=0)
-    csum = _blocked_cumsum(rows, block)[:p]
-    z = jnp.concatenate([jnp.zeros((1, c), csum.dtype), csum], axis=0)
-    bounds = jnp.searchsorted(sorted_ids, jnp.arange(n + 1, dtype=jnp.int32))
-    d_attrs = z[bounds[1:]] - z[bounds[:-1]]
-    return d_attrs, None
+    # Pairs get key 2·id+1, dense queries key 2·r: query r sorts after all
+    # pairs with id < r and before any pair with id == r.
+    keys = jnp.concatenate(
+        [ids * 2 + 1, jnp.arange(nq, dtype=jnp.int32) * 2])
+    tag = jnp.concatenate(
+        [jnp.full((p,), jnp.int32(1) << 30),
+         jnp.arange(nq, dtype=jnp.int32)])
+    zq = jnp.zeros((nq,), d.dtype)
+    ops = (keys, tag) + tuple(
+        jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
+    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    rows = jnp.stack(out[2:], axis=0)                     # [C, P+nq]
+    s = _blocked_cumsum_cm(rows)                          # inclusive
+    # Query positions, ordered by r (queries have tag r < 2^30).
+    pos = jax.lax.sort(
+        (out[1], jnp.arange(p + nq, dtype=jnp.int32)),
+        num_keys=1, is_stable=False)[1][:nq]
+    b = jnp.transpose(s)[pos]                             # [nq, C]
+    # s at query r = Σ of pairs with id < r (query rows are zero).
+    return b[1:] - b[:-1], None
 
 
-_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+_gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
 
 
 def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
@@ -374,7 +388,7 @@ def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
     attrs_n = jnp.concatenate([
         mean2d, conic, color, opacity[:, None], inv_depth[:, None],
         jnp.zeros((n, N_CH - 10), mean2d.dtype)], axis=1)     # [N, 16]
-    attrs = jnp.swapaxes(_gather_rows(attrs_n, gather), 1, 2)  # [T, 16, K]
+    attrs = _gather_pack(attrs_n, gather)                 # [T, 16, K]
     return attrs.at[:, MK, :].set(mask.astype(attrs.dtype))
 
 
