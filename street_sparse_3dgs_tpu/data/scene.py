@@ -245,14 +245,22 @@ def load_camera_arrays(info: CameraInfo, resolution: int = -1,
 
 
 class CameraStream:
-    """Shuffled infinite camera stream yielding CameraBatch objects —
-    the DataLoader(CameraDataset) analogue (lazy per-item host loading,
-    ``utils/camera_utils.py:126-147``)."""
+    """Shuffled camera stream yielding CameraBatch objects — the
+    DataLoader(CameraDataset) analogue (lazy per-item host loading,
+    ``utils/camera_utils.py:126-147``).
+
+    With ``num_workers > 0`` the PNG decode/resize runs on a persistent
+    thread pool with an ordered in-flight window (the reference trains with
+    ``DataLoader(num_workers=8, prefetch_factor=1, persistent_workers=True)``,
+    ``train_single.py:61``): host IO overlaps the device step instead of
+    starving it, while the yield order stays identical to the synchronous
+    path.  Device conversion happens on the consuming thread."""
 
     def __init__(self, infos: list[CameraInfo], resolution: int = -1,
                  seed: int = 0, shuffle: bool = True,
                  train_test_exp: bool = False,
-                 is_test_dataset: bool = False):
+                 is_test_dataset: bool = False,
+                 num_workers: int = 8):
         import random
 
         self.infos = infos
@@ -261,32 +269,63 @@ class CameraStream:
         self.shuffle = shuffle
         self.train_test_exp = train_test_exp
         self.is_test_dataset = is_test_dataset
+        self.num_workers = num_workers
         self.index = {c.image_name: i for i, c in enumerate(infos)}
+        self._pool = None
 
-    def __iter__(self):
+    def _load(self, i: int):
+        return i, load_camera_arrays(self.infos[i], self.resolution,
+                                     self.train_test_exp,
+                                     self.is_test_dataset)
+
+    def _to_batch(self, i, a):
         import jax.numpy as jnp
 
         from ..train.step import CameraBatch
 
+        batch = CameraBatch(
+            camera=a["camera"],
+            gt_image=jnp.asarray(a["gt_image"]),
+            alpha_mask=jnp.asarray(a["alpha_mask"]),
+            mono_invdepth=jnp.asarray(a["mono_invdepth"]),
+            depth_mask=jnp.asarray(a["depth_mask"]),
+            depth_reliable=jnp.asarray(a["depth_reliable"]),
+            image_index=jnp.int32(i))
+        if a["is_depth_only"]:
+            batch = DepthOnlyCameraBatch(*batch)
+        return batch
+
+    def __iter__(self):
         order = list(range(len(self.infos)))
         if self.shuffle:
             self.rng.shuffle(order)
-        for i in order:
-            info = self.infos[i]
-            a = load_camera_arrays(info, self.resolution,
-                                   self.train_test_exp,
-                                   self.is_test_dataset)
-            batch = CameraBatch(
-                camera=a["camera"],
-                gt_image=jnp.asarray(a["gt_image"]),
-                alpha_mask=jnp.asarray(a["alpha_mask"]),
-                mono_invdepth=jnp.asarray(a["mono_invdepth"]),
-                depth_mask=jnp.asarray(a["depth_mask"]),
-                depth_reliable=jnp.asarray(a["depth_reliable"]),
-                image_index=jnp.int32(i))
-            if a["is_depth_only"]:
-                batch = DepthOnlyCameraBatch(*batch)
-            yield batch
+
+        if self.num_workers <= 0 or len(order) <= 1:
+            for i in order:
+                yield self._to_batch(*self._load(i))
+            return
+
+        if self._pool is None:          # persistent across epochs
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="camera-load")
+
+        from collections import deque
+
+        window: deque = deque()
+        depth = min(len(order), self.num_workers)
+        it = iter(order)
+        for i in it:
+            window.append(self._pool.submit(self._load, i))
+            if len(window) >= depth:
+                break
+        for i in it:
+            yield self._to_batch(*window.popleft().result())
+            window.append(self._pool.submit(self._load, i))
+        while window:
+            yield self._to_batch(*window.popleft().result())
 
 
 class DepthOnlyCameraBatch(_CameraBatchBase):

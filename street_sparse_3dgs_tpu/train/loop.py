@@ -154,6 +154,8 @@ def train_loop(
     step_depth = None  # built lazily on the first depth-only batch
 
     stats = {"losses": [], "n_active": [], "overflows": 0}
+    dup_acc = jnp.int32(0)
+    tile_acc = jnp.int32(0)
     it = 0
     last_bg = None
     batch_iter = iter(batches)
@@ -189,20 +191,23 @@ def train_loop(
             hooks.on_step(it, state, aux)
         # Device scalars are kept unsynced; only the periodic progress line
         # forces a host round-trip (the per-step float() sync costs more
-        # than the math at small resolutions).
+        # than the math at small resolutions).  Overflow counters accumulate
+        # ON DEVICE every step so transient overflows between progress lines
+        # are never lost ("never silently drop work").
         stats["losses"].append(aux["loss"])
+        dup_acc = dup_acc + aux.get("dup_overflow", 0)
+        tile_acc = tile_acc + aux.get("tile_overflow", 0)
         if it % progress_every == 0:
             ema.update(float(aux["loss"]))
             print(f"  it {it}/{iterations} loss(ema) {ema.value:.5f} "
                   f"visible {int(aux['n_visible'])}")
             # No silent caps: surface binning overflow (raise max_dup /
             # tile_capacity in PipelineConfig when these fire).
-            dup = int(aux.get("dup_overflow", 0))
-            tile = int(aux.get("tile_overflow", 0))
+            dup, tile = int(dup_acc), int(tile_acc)
             if dup or tile:
-                print(f"  WARNING: binning overflow dup={dup} tile={tile} "
-                      "(rendered image is missing contributions; raise "
-                      "max_dup/tile_capacity)")
+                print(f"  WARNING: binning overflow since start "
+                      f"dup={dup} tile={tile} (rendered image is missing "
+                      "contributions; raise max_dup/tile_capacity)")
 
         # --- densification cadence -----------------------------------------
         if (densify_enabled and it < opt.densify_until_iter
@@ -261,4 +266,9 @@ def train_loop(
                         state, meta, it)
 
     stats["losses"] = [float(v) for v in stats["losses"]]
+    stats["dup_overflow"] = int(dup_acc)
+    stats["tile_overflow"] = int(tile_acc)
+    if stats["dup_overflow"] or stats["tile_overflow"]:
+        print(f"  WARNING: binning overflow over the run "
+              f"dup={stats['dup_overflow']} tile={stats['tile_overflow']}")
     return state, meta, stats

@@ -179,3 +179,19 @@ def test_depth_pipeline_local_steps(tmp_path):
     assert len(tiles) == 2
     v, t = native.load_ctm(tiles[0])
     assert v.shape[1] == 3 and t.shape[1] == 3
+
+
+def test_profiling_trace_and_summary(tmp_path):
+    """profiling.trace_fn captures a device trace and summarize_trace
+    aggregates per-op rows (SURVEY §5.1 tooling)."""
+    import jax
+    import jax.numpy as jnp
+
+    from street_sparse_3dgs_tpu import profiling
+
+    f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+    x = jnp.ones((256, 256))
+    tdir = profiling.trace_fn(f, x, trace_dir=str(tmp_path / "tr"), iters=2)
+    rows = profiling.summarize_trace(tdir, iters=2, device_only=False)
+    assert rows and all("ms" in r for r in rows)
+    profiling.print_summary(rows, top=3)

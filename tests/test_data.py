@@ -183,3 +183,45 @@ def test_resolution_policy():
     assert resolve_resolution(800, 600, -1) == (800, 600)
     assert resolve_resolution(800, 600, 2) == (400, 300)
     assert resolve_resolution(800, 600, 400) == (400, 300)
+
+
+def test_camera_stream_prefetch_order_and_overlap(tmp_path, monkeypatch):
+    """Prefetch (num_workers>0) must yield the exact synchronous order and
+    hide per-item load latency behind the consumer (ref train_single.py:61
+    uses DataLoader(num_workers=8, prefetch_factor=1))."""
+    import time
+
+    from street_sparse_3dgs_tpu.data import scene as scene_mod
+
+    src = make_scene_dir(tmp_path)
+    cfg = ModelConfig(eval=True, depths="depths")
+    info = load_scene_info(src, cfg)
+
+    sync = CameraStream(info.train_cameras, resolution=1, seed=3,
+                        num_workers=0)
+    pre = CameraStream(info.train_cameras, resolution=1, seed=3,
+                       num_workers=4)
+    ids_sync = [int(b.image_index) for b in sync]
+    ids_pre = [int(b.image_index) for b in pre]
+    assert ids_pre == ids_sync
+
+    # Slow loads: 60 ms each, 8 items.  Synchronous would be >= 480 ms of
+    # load time; with 4 workers + a 30 ms consumer the loads must overlap.
+    real = scene_mod.load_camera_arrays
+
+    def slow_load(*a, **kw):
+        time.sleep(0.06)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(scene_mod, "load_camera_arrays", slow_load)
+    infos8 = (info.train_cameras * 3)[:8]
+    stream = CameraStream(infos8, resolution=1, seed=0, num_workers=4)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in stream:
+        time.sleep(0.03)      # stand-in for the device step
+        n += 1
+    dt = time.perf_counter() - t0
+    assert n == 8
+    # serial would be 8*(60+30) = 720 ms; overlapped ~ 8*30 + 2*60 = 360 ms.
+    assert dt < 0.60, f"prefetch failed to overlap loads: {dt:.3f}s"
