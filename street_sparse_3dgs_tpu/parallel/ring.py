@@ -1,0 +1,222 @@
+"""Ring-staged rendering: Gaussians AND tiles sharded over the mesh.
+
+SURVEY §5.7's answer to chunks whose primitives exceed per-chip HBM
+(reference analogue: the CUDA rasterizer assumes one GPU owns every
+Gaussian — ``submodules/hierarchy-rasterizer`` has no multi-GPU path, the
+fork scales by splitting chunks).  Here one *image* is rendered
+cooperatively: each chip owns a 1/n block of the Gaussians and a 1/n slab
+of the image tiles, and Gaussian blocks ride the ICI ring (``ppermute``)
+past every tile shard.
+
+Depth-correct compositing without materializing a global sort:
+
+  Pass A (light, non-differentiable): the (mean2d, radius, depth, base)
+  geometry struct circulates; at each stage a chip expands the visiting
+  block's tile rectangles, keeps the pairs that land in ITS tile slab
+  (static per-stage capacity, overflow counted — never silently dropped),
+  and banks (tile, depth, global-row) triples.  After n stages the banked
+  pairs are sorted lexicographically by (tile, depth, row) — exactly the
+  order the single-device path realizes via its stable depth argsort — and
+  cut into per-tile gather tables of global row ids.
+
+  Pass B (heavy, differentiable): the packed 16-channel attribute rows
+  circulate; at each stage a chip copies the visiting block's rows into the
+  table slots that reference them.  Gradients flow back through the same
+  ring (ppermute's VJP is the reverse permute) into each owner's projection.
+
+The blend itself is the same fused Pallas kernel as the tile-sharded path
+(per-slab ``tile0`` origin).  Parity: images and grads match the
+single-device rasterizer bit-for-tolerance on the virtual mesh
+(``tests/test_parallel.py``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.camera import CameraParams
+from ..ops.binning import TILE, num_tiles, tile_rect
+from ..ops.pallas_blend import (_blend_packed, _interpret_default,
+                                MK, N_CH, OA, OB, OI, OR)
+from ..ops.preprocess import project_gaussians
+from ..ops.rasterize import RasterConfig
+
+
+def _ring_perm(n: int):
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def rasterize_ring_staged(
+    means3d: jnp.ndarray,          # [N, 3] sharded over mesh axis 0
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    camera: CameraParams,
+    sh_degree: int,
+    bg: jnp.ndarray,
+    mesh: Mesh,
+    config: RasterConfig = RasterConfig(),
+    active_mask: jnp.ndarray | None = None,
+    stage_pair_capacity: int | None = None,
+    axis: str = "tile",
+    interpret: bool | None = None,
+):
+    """Differentiable render with Gaussians sharded over ``mesh[axis]``.
+
+    ``N`` must divide evenly by the mesh axis size (pad with inactive rows).
+    ``stage_pair_capacity`` bounds how many (tile, gaussian) pairs one chip
+    banks from one visiting block (default: the lossless ``blk·max_dup``;
+    shrink it to trade HBM for counted overflow).  Returns the same dict as
+    ``ops.rasterize.rasterize`` plus ``pair_overflow``.
+    """
+    n_dev = mesh.shape[axis]
+    n = means3d.shape[0]
+    if n % n_dev:
+        raise ValueError(f"N={n} not divisible by mesh axis {n_dev}")
+    blk = n // n_dev
+    h, w = camera.height, camera.width
+    tiles_x, tiles_y = num_tiles(h, w)
+    t_total = tiles_x * tiles_y
+    pad_t = (-t_total) % n_dev
+    t_local = (t_total + pad_t) // n_dev
+    max_dup = config.max_dup
+    k_cap = config.tile_capacity
+    p_stage = stage_pair_capacity or blk * max_dup
+    perm = _ring_perm(n_dev)
+    interp = _interpret_default() if interpret is None else interpret
+
+    def local_render(xyz, sc, qu, op, sh, act, bg_rep):
+        d = jax.lax.axis_index(axis)
+        t0 = (d * t_local).astype(jnp.int32)
+        proj = project_gaussians(xyz, sc, qu, op, sh, camera, sh_degree,
+                                 1.0, act)
+        base = (d * blk).astype(jnp.int32)
+
+        # ---- Pass A: circulate light geometry, bank my tiles' pairs ----
+        sentinel_tile = jnp.int32(t_local)       # local ids in [0, t_local)
+        slots = jnp.arange(max_dup, dtype=jnp.int32)
+
+        def bank_pairs(struct):
+            mean2d, radius, depth, valid, vbase = struct
+            x0, y0, x1, y1 = tile_rect(mean2d, radius, tiles_x, tiles_y)
+            nx = jnp.where(valid, x1 - x0, 0)
+            ny = jnp.where(valid, y1 - y0, 0)
+            cov = nx * ny
+            nxs = jnp.maximum(nx, 1)
+            sy = slots[None, :] // nxs[:, None]
+            sx = slots[None, :] % nxs[:, None]
+            tile = (y0[:, None] + sy) * tiles_x + (x0[:, None] + sx)
+            in_range = slots[None, :] < jnp.minimum(cov, max_dup)[:, None]
+            dup_ovf = jnp.sum(jnp.maximum(cov - max_dup, 0))
+            loc = tile - t0
+            mine = in_range & (loc >= 0) & (loc < t_local)
+            ltile = jnp.where(mine, loc, sentinel_tile).astype(
+                jnp.int32).ravel()
+            pdep = jnp.broadcast_to(depth[:, None],
+                                    (blk, max_dup)).ravel()
+            pdep = jnp.where(mine.ravel(), pdep, jnp.inf)
+            pref = (vbase + jnp.arange(blk, dtype=jnp.int32))[:, None]
+            pref = jnp.broadcast_to(pref, (blk, max_dup)).ravel()
+            # Compact kept pairs to the front (deterministic tiebreak).
+            keep = (~mine.ravel()).astype(jnp.int32)
+            _, _, ctile, cdep, cref = jax.lax.sort(
+                (keep, jnp.arange(blk * max_dup, dtype=jnp.int32),
+                 ltile, pdep, pref), num_keys=2, is_stable=False)
+            kept = jnp.sum(mine)
+            pair_ovf = jnp.maximum(kept - p_stage, 0)
+            return (ctile[:p_stage], cdep[:p_stage], cref[:p_stage],
+                    dup_ovf, pair_ovf)
+
+        struct0 = (proj.mean2d, proj.radius,
+                   jnp.where(proj.valid, proj.depth, jnp.inf),
+                   proj.valid, base)
+
+        def stage_a(struct, _):
+            ctile, cdep, cref, dovf, povf = bank_pairs(struct)
+            nxt = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis, perm), struct)
+            return nxt, (ctile, cdep, cref, dovf, povf)
+
+        _, (a_tile, a_dep, a_ref, a_dovf, a_povf) = jax.lax.scan(
+            stage_a, struct0, None, length=n_dev)
+        pairs_tile = a_tile.reshape(-1)          # [n_dev * p_stage]
+        pairs_dep = a_dep.reshape(-1)
+        pairs_ref = a_ref.reshape(-1)
+
+        # (tile, depth, row) — the single-device blend order.
+        s_tile, _, s_ref = jax.lax.sort(
+            (pairs_tile, pairs_dep, pairs_ref), num_keys=3,
+            is_stable=False)
+        bounds = jnp.searchsorted(
+            s_tile, jnp.arange(t_local + 1, dtype=jnp.int32))
+        starts = bounds[:-1]
+        counts = bounds[1:] - starts
+        tile_ovf = jnp.sum(jnp.maximum(counts - k_cap, 0))
+        padded = jnp.concatenate(
+            [s_ref, jnp.zeros((k_cap,), s_ref.dtype)])
+        table = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(padded, (s,), (k_cap,)))(starts)
+        kk = jnp.arange(k_cap, dtype=jnp.int32)
+        tmask = kk[None, :] < jnp.minimum(counts, k_cap)[:, None]
+        table = jnp.where(tmask, table, -1)      # -1 never matches a block
+
+        # ---- Pass B: circulate packed attributes, fill the tables ----
+        attrs_blk = jnp.concatenate([
+            proj.mean2d, proj.conic, proj.color, proj.opacity[:, None],
+            proj.inv_depth[:, None],
+            jnp.zeros((blk, N_CH - 10), proj.mean2d.dtype)], axis=1)
+
+        table_nd = jax.lax.stop_gradient(table)
+
+        def stage_b(carry, _):
+            attrs_v, vbase, acc = carry
+            local = table_nd - vbase
+            sel = (local >= 0) & (local < blk) & tmask
+            rows = attrs_v[jnp.clip(local, 0, blk - 1)]   # [T_l, K, 16]
+            rows = jnp.swapaxes(rows, 1, 2)               # [T_l, 16, K]
+            acc = jnp.where(sel[:, None, :], rows, acc)
+            attrs_v = jax.lax.ppermute(attrs_v, axis, perm)
+            vbase = jax.lax.ppermute(vbase, axis, perm)
+            return (attrs_v, vbase, acc), None
+
+        acc0 = jnp.zeros((t_local, N_CH, k_cap), attrs_blk.dtype)
+        (_, _, attrs_t), _ = jax.lax.scan(
+            stage_b, (attrs_blk, base, acc0), None, length=n_dev)
+        attrs_t = attrs_t.at[:, MK, :].set(tmask.astype(attrs_t.dtype))
+
+        out = _blend_packed(interp, tiles_x, t0.reshape(1, 1), attrs_t,
+                            bg_rep)
+
+        dup_ovf = jax.lax.psum(jnp.sum(a_dovf), axis) // n_dev
+        pair_ovf = jax.lax.psum(jnp.sum(a_povf), axis)
+        tile_ovf = jax.lax.psum(tile_ovf, axis)
+        return out, dup_ovf[None], pair_ovf[None], tile_ovf[None]
+
+    specs = P(axis)
+    out, dup_ovf, pair_ovf, tile_ovf = shard_map(
+        local_render, mesh=mesh,
+        in_specs=(specs, specs, specs, specs, specs, specs, P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(means3d, scales, quats, opacities, sh_coeffs,
+      jnp.ones(n, bool) if active_mask is None else active_mask,
+      bg[None, :])
+
+    def to_image(flat, channels):
+        img = flat[:t_total].reshape(tiles_y, tiles_x, channels, TILE, TILE)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(channels,
+                                                   tiles_y * TILE,
+                                                   tiles_x * TILE)
+        return img[:, :h, :w]
+
+    image = to_image(out[:, OR:OB + 1, :], 3)
+    invdepth = to_image(out[:, OI:OI + 1, :], 1)
+    alpha_img = to_image(out[:, OA:OA + 1, :], 1)[0]
+    return {"render": image, "depth": invdepth, "alpha": alpha_img,
+            "dup_overflow": dup_ovf[0],
+            "pair_overflow": pair_ovf[0],
+            "tile_overflow": tile_ovf[0]}

@@ -92,3 +92,73 @@ def test_dp_step_matches_serial_visibility_union(scene):
     assert np.isfinite(np.asarray(new_state.params.xyz)).all()
     assert not np.allclose(np.asarray(new_state.params.xyz),
                            np.asarray(state.params.xyz))
+
+
+def test_ring_staged_matches_single(scene):
+    """Gaussian+tile sharded ring render == single-device render (images)."""
+    from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged
+
+    mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
+    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cam = scene.cameras[0]
+    args = (scene.means3d, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs, cam, 3, jnp.zeros(3))
+    ref = rasterize(*args, cfg)
+    with mesh:
+        out = jax.jit(lambda m, s, q, o, sh: rasterize_ring_staged(
+            m, s, q, o, sh, cam, 3, jnp.zeros(3), mesh=mesh, config=cfg))(
+            scene.means3d, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs)
+    assert int(out["pair_overflow"]) == 0
+    assert int(out["tile_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), atol=2e-5)
+
+
+def test_ring_staged_gradients(scene):
+    from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged
+
+    mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
+    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cam = scene.cameras[0]
+
+    def loss_single(means, sh):
+        out = rasterize(means, scene.scales, scene.quats, scene.opacities,
+                        sh, cam, 3, jnp.zeros(3), cfg)
+        return jnp.mean(out["render"] ** 2) + jnp.mean(out["depth"])
+
+    def loss_ring(means, sh):
+        out = rasterize_ring_staged(
+            means, scene.scales, scene.quats, scene.opacities,
+            sh, cam, 3, jnp.zeros(3), mesh, cfg)
+        return jnp.mean(out["render"] ** 2) + jnp.mean(out["depth"])
+
+    ga, gsh = jax.grad(loss_single, argnums=(0, 1))(scene.means3d,
+                                                    scene.sh_coeffs)
+    with mesh:
+        gb, gbsh = jax.jit(jax.grad(loss_ring, argnums=(0, 1)))(
+            scene.means3d, scene.sh_coeffs)
+    scale = float(jnp.abs(ga).max()) + 1e-8
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               atol=3e-4 * scale, rtol=2e-3)
+    ssc = float(jnp.abs(gsh).max()) + 1e-8
+    np.testing.assert_allclose(np.asarray(gbsh), np.asarray(gsh),
+                               atol=3e-4 * ssc, rtol=2e-3)
+
+
+def test_ring_staged_pair_overflow_counted(scene):
+    """Shrinking stage_pair_capacity must surface counted overflow, not
+    silently drop pairs."""
+    from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged
+
+    mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
+    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cam = scene.cameras[0]
+    with mesh:
+        out = rasterize_ring_staged(
+            scene.means3d, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs, cam, 3, jnp.zeros(3), mesh, cfg,
+            stage_pair_capacity=8)
+    assert int(out["pair_overflow"]) > 0
