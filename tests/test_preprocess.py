@@ -301,3 +301,91 @@ def test_simplify_images(tmp_path):
     _, im2, p2 = colmap.read_model(dst)
     assert all((im.point3D_ids >= 0).sum() > 0 for im in im2.values())
     assert 0 not in set(int(i) for i in p2.ids)
+
+
+def test_sfm_workflow_command_sequence(tmp_path, monkeypatch):
+    """The sfm calibration driver sequences feature_extractor → custom
+    matcher → matches_importer → hierarchical_mapper → undistort → reorient
+    (ref generate_colmap.py:83-151,290-352), degrading to command logging
+    when COLMAP is absent."""
+    from PIL import Image as PILImage
+
+    from street_sparse_3dgs_tpu.preprocess import colmap_runner
+
+    monkeypatch.setattr(colmap_runner, "DRY_RUN", True)
+    images = tmp_path / "inputs" / "images"
+    (images / "cam0").mkdir(parents=True)
+    for i in range(4):
+        PILImage.fromarray(
+            np.full((8, 8, 3), i * 40, np.uint8)).save(
+            images / "cam0" / f"im{i}.png")
+
+    log = colmap_runner.generate_colmap_project(tmp_path, calibration="sfm")
+
+    joined = "\n".join(log)
+    order = [joined.index(s) for s in (
+        "feature_extractor", "matches_importer", "hierarchical_mapper",
+        "image_undistorter", "auto_reorient")]
+    assert order == sorted(order)
+    fe = next(l for l in log if "feature_extractor" in l)
+    assert "--ImageReader.single_camera 1" in fe
+    assert "--SiftExtraction.max_num_features 16384" in fe
+    assert "OPENCV" in fe
+    hm = next(l for l in log if "hierarchical_mapper" in l)
+    assert "--Mapper.ba_global_function_tolerance 0.1" in hm
+    # The custom matcher ran for real: seq+quad pairs within the folder.
+    pairs = (tmp_path / "camera_calibration" / "unrectified" /
+             "matching.txt").read_text().splitlines()
+    assert "cam0/im0.png cam0/im1.png" in pairs
+
+
+def test_cal_sfm_project_sequence(tmp_path, monkeypatch):
+    """cal_sfm driver: known-pose triangulation commands then undistortion,
+    with the mask model riding the same undistorter."""
+    from PIL import Image as PILImage
+
+    from street_sparse_3dgs_tpu.preprocess import colmap_runner
+
+    monkeypatch.setattr(colmap_runner, "DRY_RUN", True)
+    cams, images, pts = grid_model(n_cams=6)
+    model0 = (tmp_path / "camera_calibration" / "unrectified" / "sparse"
+              / "0")
+    colmap.write_model(cams, images, pts, model0)
+    img_dir = tmp_path / "inputs" / "images"
+    mask_dir = tmp_path / "inputs" / "masks"
+    img_dir.mkdir(parents=True)
+    mask_dir.mkdir(parents=True)
+    PILImage.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        img_dir / "img000.png")
+
+    log = colmap_runner.generate_colmap_project(
+        tmp_path, calibration="cal_sfm")
+
+    joined = "\n".join(log)
+    order = [joined.index(s) for s in (
+        "feature_extractor", "matches_importer", "point_triangulator",
+        "bundle_adjuster", "image_undistorter")]
+    assert order == sorted(order)
+    # Mask model written with .png names for the second undistorter pass.
+    _, mimages, _ = colmap.read_model(model0 / "masks")
+    assert all(im.name.endswith(".png") for im in mimages.values())
+    assert joined.count("image_undistorter") == 2
+
+
+def test_make_mask_uint8(tmp_path):
+    """Alpha>250 threshold + 3×3 erosion, written as single-channel PNG."""
+    from PIL import Image as PILImage
+
+    from street_sparse_3dgs_tpu.preprocess.colmap_runner import \
+        make_mask_uint8
+
+    rgba = np.zeros((10, 10, 4), np.uint8)
+    rgba[2:8, 2:8, 3] = 255       # 6x6 opaque block -> erodes to 4x4
+    (tmp_path / "in").mkdir()
+    PILImage.fromarray(rgba).save(tmp_path / "in" / "m.png")
+    n = make_mask_uint8(tmp_path / "in", tmp_path / "out")
+    assert n == 1
+    out = np.asarray(PILImage.open(tmp_path / "out" / "m.png"))
+    assert out.ndim == 2
+    assert out[3:7, 3:7].min() == 255
+    assert out[2, 2] == 0 and out.sum() == 16 * 255
