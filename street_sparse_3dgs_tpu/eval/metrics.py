@@ -13,8 +13,6 @@ Parity targets:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -55,71 +53,19 @@ def inverse_depth_errors(pred_invdepth, gt_invdepth, valid_mask):
     return float(imae), float(irmse)
 
 
-@functools.lru_cache(maxsize=1)
-def _lpips_model(net_type: str = "vgg"):
-    """Torch-CPU LPIPS backbone (lazily built; eval-only).  Uses torchvision
-    feature extractors + the LPIPS normalization; the linear calibration
-    weights of the original LPIPS are not bundled in this environment, so
-    channel-averaged normalized feature distances are used — documented
-    deviation, stable for relative comparisons."""
-    import torch
-    import torchvision
-
-    class _Extractor(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            vgg = torchvision.models.vgg16(weights=None)
-            self.slices = torch.nn.ModuleList()
-            feats = list(vgg.features)
-            breakpoints = [4, 9, 16, 23, 30]
-            prev = 0
-            for b in breakpoints:
-                self.slices.append(torch.nn.Sequential(*feats[prev:b]))
-                prev = b
-            self.register_buffer(
-                "mu", torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1))
-            self.register_buffer(
-                "sigma", torch.tensor([.458, .448, .450]).view(1, 3, 1, 1))
-
-        def forward(self, x):
-            x = (x - self.mu) / self.sigma
-            out = []
-            for s in self.slices:
-                x = s(x)
-                out.append(x)
-            return out
-
-    model = _Extractor().eval()
-    return model
-
-
 def lpips(img, gt, net_type: str = "vgg", mask=None) -> float:
-    """LPIPS-style perceptual distance of two [3,H,W] images in [0,1]; with
+    """LPIPS perceptual distance of two [3,H,W] images in [0,1]; with
     ``mask`` [1,H,W], the per-level distance maps are weighted by the
     downsampled mask (the fork's masked-LPIPS semantics,
-    ``lpipsPyTorch/modules/lpips.py:32-60``)."""
-    import torch
+    ``lpipsPyTorch/modules/lpips.py:32-60``).
 
-    model = _lpips_model(net_type)
-    with torch.no_grad():
-        a = torch.from_numpy(np.asarray(img, np.float32))[None] * 2 - 1
-        b = torch.from_numpy(np.asarray(gt, np.float32))[None] * 2 - 1
-        fa = model(a)
-        fb = model(b)
-        total = 0.0
-        for xa, xb in zip(fa, fb):
-            na = xa / (xa.norm(dim=1, keepdim=True) + 1e-10)
-            nb = xb / (xb.norm(dim=1, keepdim=True) + 1e-10)
-            dmap = ((na - nb) ** 2).mean(dim=1, keepdim=True)
-            if mask is not None:
-                m = torch.from_numpy(np.asarray(mask, np.float32))[None]
-                m = torch.nn.functional.interpolate(
-                    m, size=dmap.shape[-2:], mode="bilinear",
-                    align_corners=False)
-                total += float((dmap * m).sum() / m.sum().clamp(min=1.0))
-            else:
-                total += float(dmap.mean())
-    return total / len(fa)
+    Delegates to the JAX-native VGG backbone (``lpips_jax``): with a
+    converted official checkpoint on disk the numbers are the real
+    calibrated LPIPS; otherwise a deterministic random-feature fallback is
+    used (relative comparisons only — ``lpips_jax.weights_kind()``)."""
+    from . import lpips_jax
+
+    return lpips_jax.lpips(img, gt, mask=mask)
 
 
 def full_metrics(image, gt, alpha_mask=None, pred_invdepth=None,
