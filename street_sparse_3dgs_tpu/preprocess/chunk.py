@@ -17,8 +17,8 @@ Reference semantics (``ss_make_chunk.py:441-660``):
     with temporal-gap filling (consecutive recording positions < 10 m apart,
     ``:324-439``).
 
-LiDAR input: ``.ply``/``.npy``/``.npz`` tiles (the environment has no laspy;
-``.laz`` files raise with a clear message — convert externally).
+LiDAR input: ``.laz``/``.las`` tiles (self-contained native LASzip codec,
+``preprocess/laz.py`` — no laspy needed) plus ``.ply``/``.npy``/``.npz``.
 """
 
 from __future__ import annotations
@@ -64,17 +64,22 @@ def voxel_downsample(xyz: np.ndarray, colors: np.ndarray | None,
 def load_lidar_tiles(lidar_dir: str | Path, corner_min: np.ndarray,
                      corner_max: np.ndarray, density: float):
     """Read LiDAR tiles overlapping the chunk box and downsample.  Tiles may
-    be .ply/.npy/.npz({'xyz','rgb'}); .laz needs external conversion."""
+    be .laz/.las (native LASzip codec) or .ply/.npy/.npz({'xyz','rgb'})."""
     lidar_dir = Path(lidar_dir)
     if not lidar_dir.exists():
         return None, None
     xs, cs = [], []
     for f in sorted(lidar_dir.iterdir()):
-        if f.suffix == ".laz" or f.suffix == ".las":
-            raise RuntimeError(
-                f"{f}: .laz/.las reading needs laspy (not in this "
-                "environment); convert tiles to .ply or .npz first")
-        if f.suffix == ".ply":
+        if f.suffix in (".laz", ".las"):
+            from . import laz as laz_io  # native LASzip codec
+
+            pts = laz_io.read_points(f)
+            xyz = np.stack([pts["x"], pts["y"], pts["z"]],
+                           -1).astype(np.float32)
+            rgb = (np.stack([pts["red"], pts["green"], pts["blue"]],
+                            -1).astype(np.float32) / 65535.0
+                   if "red" in pts else None)
+        elif f.suffix == ".ply":
             xyz, rgb = fetch_point_cloud(f)
         elif f.suffix == ".npy":
             xyz, rgb = np.load(f), None
