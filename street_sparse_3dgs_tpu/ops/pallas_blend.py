@@ -383,13 +383,20 @@ _gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
 def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
                       inv_depth):
     """[N,·] depth-sorted attributes + [T,K] gather table → packed
-    channel-major [T, 16, K] kernel input (mask in channel MK)."""
-    n = mean2d.shape[0]
+    channel-major [T, 16, K] kernel input (mask in channel MK).
+
+    Only the 10 real channels ride the gather (and therefore its sort-based
+    VJP — 12 sort operands instead of 18); the mask and lane padding are
+    concatenated afterwards, so their cotangents never enter the backward
+    merge sort."""
     attrs_n = jnp.concatenate([
-        mean2d, conic, color, opacity[:, None], inv_depth[:, None],
-        jnp.zeros((n, N_CH - 10), mean2d.dtype)], axis=1)     # [N, 16]
-    attrs = _gather_pack(attrs_n, gather)                 # [T, 16, K]
-    return attrs.at[:, MK, :].set(mask.astype(attrs.dtype))
+        mean2d, conic, color, opacity[:, None], inv_depth[:, None]],
+        axis=1)                                           # [N, 10]
+    g10 = _gather_pack(attrs_n, gather)                   # [T, 10, K]
+    t, _, k = g10.shape
+    return jnp.concatenate(
+        [g10, mask[:, None, :].astype(g10.dtype),
+         jnp.zeros((t, N_CH - 11, k), g10.dtype)], axis=1)
 
 
 def blend_tiles_pallas(
