@@ -135,3 +135,20 @@ class TestOverflowAccounting:
 
         out = f(scene.means3d)
         assert out.shape == (3, 48, 64)
+
+
+class TestSlabGather:
+    def test_pallas_slab_gather_matches_slices(self):
+        """The TPU slab-DMA gather table builder (interpret mode here) must
+        equal the vmapped dynamic_slice reference used off-TPU."""
+        from street_sparse_3dgs_tpu.ops.binning import _slab_gather
+
+        rng = np.random.default_rng(7)
+        n, t, k = 5000, 13, 256
+        vals = jnp.asarray(rng.integers(0, 999, (n,), dtype=np.int32))
+        starts = jnp.sort(
+            jnp.asarray(rng.integers(0, n, (t,), dtype=np.int32)))
+        got = np.asarray(_slab_gather(vals, starts, k, True))
+        padded = np.concatenate([np.asarray(vals), np.zeros(k + 1024, np.int32)])
+        want = np.stack([padded[int(s):int(s) + k] for s in np.asarray(starts)])
+        np.testing.assert_array_equal(got, want)
