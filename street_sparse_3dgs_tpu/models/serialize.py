@@ -27,6 +27,55 @@ from . import adam
 from .gaussians import GaussianMeta, GaussianParams
 
 
+# Above this many points the reference switches to the packed-binary fast
+# path (scene/__init__.py:103-105); we write both formats there too.
+PACKED_BIN_THRESHOLD = 8_000_000
+
+
+def save_packed_bin(path: str | Path, params: GaussianParams,
+                    active: np.ndarray | None = None) -> None:
+    """Write the reference's ``point_cloud.bin`` fast format
+    (``scene/gaussian_model.py:473-506``): int32 count, then contiguous f32
+    blocks xyz [N,3], SH features [N,K,3] (DC band first), opacity [N,1],
+    log-scales [N,3], rotations [N,4]."""
+    p = GaussianParams(*(np.asarray(x) for x in params))
+    if active is not None:
+        idx = np.nonzero(np.asarray(active))[0]
+        p = GaussianParams(*(x[idx] for x in p))
+    n = p.xyz.shape[0]
+    feats = np.concatenate([p.features_dc, p.features_rest], axis=1)
+    with open(path, "wb") as f:
+        f.write(np.int32(n).tobytes())
+        for arr in (p.xyz, feats, p.opacity_raw, p.log_scales, p.quats):
+            f.write(np.ascontiguousarray(arr, np.float32).tobytes())
+
+
+def load_packed_bin(path: str | Path) -> GaussianParams:
+    """Read ``point_cloud.bin``; the SH band count is inferred from the
+    record size (the format itself does not store it)."""
+    raw = Path(path).read_bytes()
+    n = int(np.frombuffer(raw, np.int32, 1)[0])
+    body = np.frombuffer(raw, np.float32, offset=4)
+    if n == 0:
+        k = 16
+    else:
+        per_row = body.size // n
+        k = (per_row - 11) // 3          # 3 + 3K + 1 + 3 + 4 floats per row
+    sizes = [3 * n, 3 * k * n, n, 3 * n, 4 * n]
+    off, parts = 0, []
+    for s in sizes:
+        parts.append(body[off:off + s])
+        off += s
+    feats = parts[1].reshape(n, k, 3)
+    return GaussianParams(
+        xyz=parts[0].reshape(n, 3),
+        features_dc=feats[:, :1],
+        features_rest=feats[:, 1:],
+        log_scales=parts[3].reshape(n, 3),
+        quats=parts[4].reshape(n, 4),
+        opacity_raw=parts[2].reshape(n, 1))
+
+
 def save_scene(model_path: str | Path, iteration: int, state: TrainState,
                meta: GaussianMeta, image_names: list[str]) -> Path:
     """Write the stage artifact set; returns the point_cloud directory."""
@@ -34,6 +83,9 @@ def save_scene(model_path: str | Path, iteration: int, state: TrainState,
 
     out = Path(model_path) / "point_cloud" / f"iteration_{iteration}"
     out.mkdir(parents=True, exist_ok=True)
+    active = np.asarray(state.active)
+    if int(active.sum()) > PACKED_BIN_THRESHOLD:
+        save_packed_bin(out / "point_cloud.bin", state.params, active)
     save_gaussian_ply(out / "point_cloud.ply", state.params,
                       np.asarray(state.active))
     (out / "pc_info.txt").write_text(f"{meta.skybox_points}\n")
@@ -49,7 +101,10 @@ def load_scene_ply(point_cloud_dir: str | Path):
     from ..data.ply import load_gaussian_ply
 
     d = Path(point_cloud_dir)
-    params = load_gaussian_ply(d / "point_cloud.ply")
+    if (d / "point_cloud.ply").exists():
+        params = load_gaussian_ply(d / "point_cloud.ply")
+    else:
+        params = load_packed_bin(d / "point_cloud.bin")
     info = d / "pc_info.txt"
     skybox = int(info.read_text().split()[0]) if info.exists() else 0
     return params, skybox

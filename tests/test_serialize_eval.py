@@ -101,3 +101,33 @@ def test_aggregate_pixel_weighted():
     rows = [{"psnr": 10.0}, {"psnr": 20.0}]
     out = metrics.aggregate_pixel_weighted(rows, [1.0, 3.0])
     assert out["psnr"] == pytest.approx(17.5)
+
+
+def test_packed_bin_roundtrip_and_layout(tmp_path, state_meta):
+    """point_cloud.bin fast format: roundtrip plus the exact byte layout of
+    the reference writer (scene/gaussian_model.py:473-506)."""
+    from street_sparse_3dgs_tpu.models.serialize import (load_packed_bin,
+                                                         save_packed_bin)
+
+    state, meta = state_meta
+    path = tmp_path / "point_cloud.bin"
+    save_packed_bin(path, state.params, np.asarray(state.active))
+    got = load_packed_bin(path)
+    n = int(jnp.sum(state.active))
+    for name in got._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(state.params, name)[:n]))
+
+    raw = path.read_bytes()
+    assert int(np.frombuffer(raw, np.int32, 1)[0]) == n
+    k = state.params.features_rest.shape[1] + 1
+    floats = 3 + 3 * k + 1 + 3 + 4
+    assert len(raw) == 4 + 4 * floats * n
+    xyz = np.frombuffer(raw, np.float32, 3 * n, offset=4).reshape(n, 3)
+    np.testing.assert_array_equal(xyz, np.asarray(state.params.xyz[:n]))
+    # First feature row = DC band then rest, torch cat(dim=1) row order.
+    f0 = np.frombuffer(raw, np.float32, 3 * k, offset=4 + 12 * n)
+    want = np.concatenate([np.asarray(state.params.features_dc[0]),
+                           np.asarray(state.params.features_rest[0])]).ravel()
+    np.testing.assert_array_equal(f0, want)
