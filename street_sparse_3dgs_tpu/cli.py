@@ -225,10 +225,19 @@ def full_train(argv):
                      ("--skip_if_exists", dict(action="store_true")),
                      ("--keep_running", dict(action="store_true")),
                      ("--skybox_num_override",
-                      dict(type=int, default=100_000))))
+                      dict(type=int, default=100_000)),
+                     ("--host_id", dict(type=int, default=None)),
+                     ("--num_hosts", dict(type=int, default=None)),
+                     ("--distributed", dict(action="store_true"))))
+    if args.distributed:
+        # Join the in-program multi-host runtime; host fan-out then follows
+        # jax.process_index()/count() unless --host_id/--num_hosts override.
+        from .parallel.distributed import init_distributed
+        init_distributed()
     run(args.project_dir, model, opt, pipe,
         skip_if_exists=args.skip_if_exists, keep_running=args.keep_running,
-        skybox_num=args.skybox_num_override, seed=args.seed)
+        skybox_num=args.skybox_num_override, seed=args.seed,
+        host_id=args.host_id, num_hosts=args.num_hosts)
 
 
 def _read_vec(path: Path):

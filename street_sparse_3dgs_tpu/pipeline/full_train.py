@@ -218,6 +218,11 @@ def post_opt_stage(paths: ProjectPaths, chunk_name: str,
     batch_iter = iter(stream)
     import jax.numpy as jnp
     eye = np.eye(3, 4, dtype=np.float32)
+    # Pretrained exposures staged to the device ONCE, indexed per step —
+    # rebuilding a jnp row every iteration costs a host→device transfer
+    # per image at scale (1500-image chunks).
+    exp_rows = [jnp.asarray(np.asarray(exposures.get(c.image_name, eye),
+                                       np.float32)) for c in photo]
     while it < total:
         try:
             batch = next(batch_iter)
@@ -225,11 +230,9 @@ def post_opt_stage(paths: ProjectPaths, chunk_name: str,
             batch_iter = iter(stream)
             batch = next(batch_iter)
         it += 1
-        name = photo[int(batch.image_index)].image_name
-        exp_row = jnp.asarray(np.asarray(exposures.get(name, eye),
-                                         np.float32))
         state, aux = step(state, CameraBatch(*batch),
-                          jnp.float32(random_limit(rng)), exp_row)
+                          jnp.float32(random_limit(rng)),
+                          exp_rows[int(batch.image_index)])
     h_opt = h._replace(params=state.params)
     save_hierarchy(out / "hierarchy.hier_opt.npz", h_opt)
     return h_opt
@@ -251,15 +254,21 @@ def full_train(project_dir, model_cfg: ModelConfig | None = None,
                coarse_iterations=None, chunk_iterations=None,
                post_iterations=None, skybox_num: int = 100_000,
                chunk_filter: list[str] | None = None, seed: int = 0,
-               host_id: int = 0, num_hosts: int = 1):
+               host_id: int | None = None, num_hosts: int | None = None):
     """Run the full 5-stage pipeline over a project directory.
 
     Multi-host chunk fan-out (the reference's Slurm parallelism, SURVEY.md
     §2.6 P1): launch this on every host with its ``host_id``/``num_hosts`` —
     chunks are partitioned round-robin, stages stay idempotent on the shared
     filesystem, and whichever host finds all per-chunk artifacts present
-    runs the consolidation."""
+    runs the consolidation.  Left as ``None``, the pair resolves from the
+    in-program ``jax.distributed`` runtime (``parallel.distributed``):
+    after ``init_distributed`` the same invocation on every host partitions
+    the chunk list automatically; uninitialized it degrades to (0, 1)."""
+    from ..parallel.distributed import host_identity
     from ..utils import stage_timer
+
+    host_id, num_hosts = host_identity(host_id, num_hosts)
 
     paths = ProjectPaths(Path(project_dir))
     model_cfg = model_cfg or ModelConfig()

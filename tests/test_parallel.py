@@ -162,3 +162,24 @@ def test_ring_staged_pair_overflow_counted(scene):
             scene.sh_coeffs, cam, 3, jnp.zeros(3), mesh, cfg,
             stage_pair_capacity=8)
     assert int(out["pair_overflow"]) > 0
+
+
+class TestDistributedIdentity:
+    """parallel.distributed: in-program multi-host identity resolution."""
+
+    def test_single_process_defaults(self):
+        from street_sparse_3dgs_tpu.parallel.distributed import (
+            host_identity, init_distributed)
+        assert init_distributed() == (0, 1)   # no coordinator → no-op
+        assert host_identity() == (0, 1)
+
+    def test_explicit_override_wins(self):
+        from street_sparse_3dgs_tpu.parallel.distributed import host_identity
+        assert host_identity(2, 4) == (2, 4)
+        assert host_identity(None, 4) == (0, 4)
+
+    def test_out_of_range_rejected(self):
+        import pytest
+        from street_sparse_3dgs_tpu.parallel.distributed import host_identity
+        with pytest.raises(ValueError):
+            host_identity(5, 4)
