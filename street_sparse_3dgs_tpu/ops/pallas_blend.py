@@ -81,8 +81,10 @@ def _pixel_coords(tiles_x: int, tile0_ref):
 
 
 def _alpha_block(attrs_ref, sl, px, py):
-    """[P, KB] alpha (+aux terms) for one gaussian block vs the pixels."""
-    ch = lambda c: attrs_ref[0, c, sl][None, :]        # [1, KB]
+    """[P, KB] alpha (+aux terms) for one gaussian block vs the pixels.
+    Attributes may be stored bf16 (``attr_dtype`` mode) — all math here is
+    f32 regardless; only the at-rest payload precision changes."""
+    ch = lambda c: attrs_ref[0, c, sl][None, :].astype(jnp.float32)
     dx = px - ch(MX)                                   # [P, KB]
     dy = py - ch(MY)
     a, b, c = ch(CA), ch(CB), ch(CC)
@@ -119,12 +121,14 @@ def _make_fwd_kernel(tiles_x: int):
 
                 # Color accumulation on the MXU: contract the [P,KB] weights
                 # against the [3,KB] color rows (no transposes needed).
-                c3k = attrs_ref[0, pl.ds(CR, 3), sl]       # [3, KB]
+                c3k = attrs_ref[0, pl.ds(CR, 3), sl].astype(
+                    jnp.float32)                           # [3, KB]
                 rgb_n = rgb + jax.lax.dot_general(
                     w, c3k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)    # [P, 3]
                 ivd_n = ivd + jnp.sum(
-                    w * attrs_ref[0, ID, sl][None, :], axis=1, keepdims=True)
+                    w * attrs_ref[0, ID, sl][None, :].astype(jnp.float32),
+                    axis=1, keepdims=True)
                 return (tlog + jnp.sum(jnp.where(include, log_om, 0.0),
                                        axis=1, keepdims=True),
                         ncontrib + jnp.sum(include.astype(jnp.float32),
@@ -187,8 +191,10 @@ def _make_bwd_kernel(tiles_x: int):
                 t_excl = jnp.exp(tlog_after - (suf_in + log_om))
                 w = alpha_i * t_excl
 
-                ch = lambda cidx: attrs_ref[0, cidx, sl][None, :]
-                c3k = attrs_ref[0, pl.ds(CR, 3), sl]   # [3, KB]
+                ch = lambda cidx: attrs_ref[0, cidx, sl][None, :].astype(
+                    jnp.float32)
+                c3k = attrs_ref[0, pl.ds(CR, 3), sl].astype(
+                    jnp.float32)                       # [3, KB]
                 g3p = g_ref[0, pl.ds(OR, 3), :]        # [3, P]
                 pg = (jax.lax.dot_general(
                     g3p, c3k, (((0,), (0,)), ((), ())),
@@ -226,14 +232,14 @@ def _make_bwd_kernel(tiles_x: int):
                     [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op,
                      d_id, zero, zero, zero, zero, zero, zero],
                     axis=0)                            # [16, KB]
-                d_ref[0, :, sl] = block
+                d_ref[0, :, sl] = block.astype(d_ref.dtype)
 
                 return (tlog_after - jnp.sum(log_om, axis=1, keepdims=True),
                         suffix + jnp.sum(wpg, axis=1, keepdims=True))
 
             def dead(_):
                 sl = pl.ds(base, KB)
-                d_ref[0, :, sl] = jnp.zeros((N_CH, KB), jnp.float32)
+                d_ref[0, :, sl] = jnp.zeros((N_CH, KB), d_ref.dtype)
                 return carry
 
             return jax.lax.cond(block_dead, dead, live, None)
@@ -287,7 +293,9 @@ def _blend_packed_bwd(interpret, tiles_x, res, g_out):
         _make_bwd_kernel(tiles_x), grid=(t,),
         in_specs=[tile0_spec, attrs_spec, bg_spec, out_spec, out_spec],
         out_specs=attrs_spec,
-        out_shape=jax.ShapeDtypeStruct((t, N_CH, k_cap), jnp.float32),
+        # Grads at the attrs' own precision: in bf16 mode they ride the
+        # sort-based gather VJP at half the payload width.
+        out_shape=jax.ShapeDtypeStruct((t, N_CH, k_cap), attrs.dtype),
         interpret=interpret,
     )(tile0, attrs, bg, saved, g_out)
     # Background gradient (outside the kernel; tiny reduction).
@@ -366,7 +374,10 @@ def _gather_pack_bwd(res, d):
     ops = (keys, tag) + tuple(
         jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
     out = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    rows = jnp.stack(out[2:], axis=0)                     # [C, P+nq]
+    # Payload channels sort at their own width (half traffic in bf16
+    # mode); the running sum is always f32 — a low-precision prefix over
+    # 400k+ rows would drown the per-row differences.
+    rows = jnp.stack(out[2:], axis=0).astype(jnp.float32)  # [C, P+nq]
     s = _blocked_cumsum_cm(rows)                          # inclusive
     # Query positions, ordered by r (queries have tag r < 2^30).
     pos = jax.lax.sort(
@@ -374,24 +385,26 @@ def _gather_pack_bwd(res, d):
         num_keys=1, is_stable=False)[1][:nq]
     b = jnp.transpose(s)[pos]                             # [nq, C]
     # s at query r = Σ of pairs with id < r (query rows are zero).
-    return b[1:] - b[:-1], None
+    return (b[1:] - b[:-1]).astype(d.dtype), None
 
 
 _gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
 
 
 def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
-                      inv_depth):
+                      inv_depth, dtype=jnp.float32):
     """[N,·] depth-sorted attributes + [T,K] gather table → packed
     channel-major [T, 16, K] kernel input (mask in channel MK).
 
     Only the 10 real channels ride the gather (and therefore its sort-based
     VJP — 12 sort operands instead of 18); the mask and lane padding are
     concatenated afterwards, so their cotangents never enter the backward
-    merge sort."""
+    merge sort.  ``dtype=bfloat16`` halves the gather, kernel-payload and
+    backward-sort traffic; blending still accumulates in f32
+    (``_alpha_block`` upcasts on load)."""
     attrs_n = jnp.concatenate([
         mean2d, conic, color, opacity[:, None], inv_depth[:, None]],
-        axis=1)                                           # [N, 10]
+        axis=1).astype(dtype)                             # [N, 10]
     g10 = _gather_pack(attrs_n, gather)                   # [T, 10, K]
     t, _, k = g10.shape
     return jnp.concatenate(
@@ -410,6 +423,7 @@ def blend_tiles_pallas(
     width: int,
     bg: jnp.ndarray,         # [3]
     interpret: bool | None = None,
+    attr_dtype=jnp.float32,
 ):
     """Drop-in replacement for ``ops.blend.blend_tiles`` backed by the fused
     Pallas kernels.  The per-tile gather + channel packing runs in XLA (its
@@ -426,7 +440,7 @@ def blend_tiles_pallas(
     # gathers stacked on the channel axis (measured 27→15 ms fwd at
     # 512²/32k on v5e).
     attrs = pack_gather_attrs(bins.gather, bins.mask, mean2d, conic, color,
-                              opacity, inv_depth)
+                              opacity, inv_depth, dtype=attr_dtype)
 
     interp = _interpret_default() if interpret is None else interpret
     tile0 = jnp.zeros((1, 1), jnp.int32)

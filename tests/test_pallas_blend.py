@@ -132,3 +132,38 @@ def test_finite_difference_gradcheck():
     # sampled coordinates to match instead of all of them.
     assert checked >= 6
     assert agree / checked >= 0.7, (agree, checked)
+
+
+def test_bf16_attr_mode_bounded_deviation():
+    """attr_dtype="bf16" packs blend attributes (and backward per-slot
+    grads) bfloat16 with f32 accumulators.  Measured on v5e it is NOT
+    faster (the TPU sort does not reward narrower payloads: 15.05 vs
+    14.71 ms at 512^2/32k), so it stays opt-in; this test locks that the
+    mode works end-to-end and bounds its deviation from f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+    from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+
+    s = make_toy_scene(seed=0, n=512, n_cameras=1, width=96, height=64)
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    def run(cfg):
+        def loss(m):
+            out = rasterize(m, s.scales, s.quats, s.opacities, s.sh_coeffs,
+                            s.cameras[0], 3, bg, cfg)
+            return jnp.mean(out["render"]), out["render"]
+
+        (_, img), g = jax.value_and_grad(loss, has_aux=True)(s.means3d)
+        return np.asarray(img), np.asarray(g)
+
+    base = dict(method="pallas", max_dup=32, tile_capacity=128)
+    img32, g32 = run(RasterConfig(**base))
+    img16, g16 = run(RasterConfig(**base, attr_dtype="bf16"))
+    assert np.abs(img32 - img16).max() < 0.06
+    gn = np.linalg.norm(g32, axis=1)
+    mask = gn > 1e-6
+    rel = np.abs(g32 - g16).max(axis=1)[mask] / (gn[mask] + 1e-12)
+    assert np.median(rel) < 0.1
