@@ -14,6 +14,7 @@ ops under jit — there is no matmul large enough to need the MXU here.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .quaternion import to_rotation_matrix
@@ -30,7 +31,8 @@ def build_covariance(scales: jnp.ndarray, quats: jnp.ndarray,
     s = scales * scale_modifier
     # M = R @ diag(s); Σ = M Mᵀ
     M = R * s[..., None, :]
-    return M @ jnp.swapaxes(M, -1, -2)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:

@@ -50,7 +50,10 @@ def knn_sq_dists(points: jnp.ndarray, k: int = 3, query_block: int = 4096,
             best = carry  # [B, k+1] running smallest distances (negated for top_k)
             pb = jax.lax.dynamic_slice_in_dim(p_safe, pj * point_block, point_block)
             pb_n2 = jax.lax.dynamic_slice_in_dim(p_norm2, pj * point_block, point_block)
-            d2 = q_norm2 - 2.0 * qb_safe @ pb.T + pb_n2[None, :]
+            d2 = (q_norm2
+                  - 2.0 * jnp.matmul(qb_safe, pb.T,
+                                     precision=jax.lax.Precision.HIGHEST)
+                  + pb_n2[None, :])
             d2 = jnp.maximum(d2, 0.0)
             d2 = jnp.where(jnp.isfinite(pb_n2)[None, :], d2, jnp.inf)
             # Exclude self-distance: the query itself appears once with d2≈0.

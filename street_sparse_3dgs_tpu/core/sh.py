@@ -12,6 +12,7 @@ matrix, which XLA maps straight onto the MXU when batched over N.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Degree-ordered SH constants (same basis normalization as standard 3DGS).
@@ -96,7 +97,9 @@ def eval_sh(degree: int, sh_coeffs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarr
     """
     k = num_sh_coeffs(degree)
     basis = sh_basis(degree, dirs)  # [..., k]
-    return jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :k, :])
+    return jnp.einsum("...k,...kc->...c", basis,
+                      sh_coeffs[..., :k, :],
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def sh_to_color(degree: int, sh_coeffs: jnp.ndarray, means: jnp.ndarray,

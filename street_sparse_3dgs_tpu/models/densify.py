@@ -141,7 +141,9 @@ def densify_and_prune(
 
     def split_child(k):
         noise = jax.random.normal(k, (capacity, 3)) * scales
-        child_xyz = params.xyz + jnp.einsum("cij,cj->ci", R, noise)
+        child_xyz = params.xyz + jnp.einsum(
+            "cij,cj->ci", R, noise,
+            precision=jax.lax.Precision.HIGHEST)
         child_log_scales = params.log_scales - jnp.log(0.8 * 2)
         return params._replace(xyz=child_xyz, log_scales=child_log_scales)
 

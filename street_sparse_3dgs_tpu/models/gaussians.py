@@ -266,7 +266,8 @@ def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
     """Apply a 3×4 affine to a [3,H,W] image (reference
     ``gaussian_renderer/__init__.py:115-118``: ``img_hwc @ E[:3,:3]`` — i.e.
     the *transpose* acts on the channel axis — plus the translation column)."""
-    out = jnp.einsum("ji,jhw->ihw", exposure[:, :3], image)
+    out = jnp.einsum("ji,jhw->ihw", exposure[:, :3], image,
+                     precision=jax.lax.Precision.HIGHEST)
     return out + exposure[:, 3, None, None]
 
 

@@ -88,8 +88,10 @@ def blend_tiles(
 
         w = jnp.where(include, alpha * t_excl, 0.0)           # [C, P, K]
         out_rgb = jnp.einsum("cpk,ckd->cpd", w, rgb,
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)
         out_ivd = jnp.einsum("cpk,ck->cp", w, ivd,
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)
         acc = jnp.sum(w, axis=-1)
         t_final = jnp.exp(jnp.sum(jnp.where(include, log_om, 0.0), axis=-1))

@@ -65,6 +65,23 @@ def _tri(strict_greater: bool) -> jnp.ndarray:
         jnp.float32)
 
 
+def _tri_dot(x, tri):
+    """``x @ tri`` at near-f32 accuracy in TWO native MXU passes.
+
+    Mosaic in-kernel dots support only DEFAULT (single-pass bf16 — a ~1%
+    transmittance error, fatal) or HIGHEST (six passes, ~1.4 ms/kernel at
+    512²/32k).  The hi/lo bf16 split costs two passes with error
+    ≤ 2^-18·Σ|x| (lo carries the f32 residual of the bf16 rounding; the
+    triangular 0/1 matrix is exact in bf16), ~3e-5 absolute on the worst
+    log-transmittance sums — two orders below anything the blend math can
+    observe through exp()."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tb = tri.astype(jnp.bfloat16)
+    return (jnp.dot(hi, tb, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, tb, preferred_element_type=jnp.float32))
+
+
 def _pixel_coords(tiles_x: int, tile0_ref):
     """Tile-absolute pixel coordinates as [P,1] columns, origin from the
     grid position (tiles_x closed over statically).  ``tile0_ref`` holds the
@@ -103,45 +120,59 @@ def _make_fwd_kernel(tiles_x: int):
         tri = _tri(False)
 
         def body(kb, carry):
-            tlog, ncontrib, rgb, ivd, acc = carry
-            all_done = jnp.all(tlog < LOG_EPS)
+            tlog, ncontrib, rgb, ivd, acc, alive = carry
+            all_done = jnp.all(alive < 0.5)
 
             def live(_):
                 sl = pl.ds(kb * KB, KB)
                 alpha, *_ = _alpha_block(attrs_ref, sl, px, py)
                 log_om = jnp.log1p(-alpha)             # [P, KB]
-                cum = jnp.dot(log_om, tri,
-                              preferred_element_type=jnp.float32)
+                cum = _tri_dot(log_om, tri)
                 fail = (tlog + cum) < LOG_EPS
                 fail_cum = jnp.dot(fail.astype(jnp.float32), tri,
                                    preferred_element_type=jnp.float32)
-                include = (fail_cum < 0.5) & (tlog >= LOG_EPS)
+                # Termination must PERSIST across gaussian blocks: ``alive``
+                # carries it (the CUDA rasterizer's per-thread break, the
+                # oracle's global cumsum(fail)==0).  Gating on
+                # ``tlog >= LOG_EPS`` alone is wrong — tlog accumulates only
+                # *included* slots, so after a mid-block termination it
+                # still sits above the threshold and the pixel would resume
+                # contributing in the next block: a tiny forward deviation,
+                # but fatal to the backward, which reconstructs
+                # transmittance assuming the included slots are exactly the
+                # first ``ncontrib``.
+                include = (fail_cum < 0.5) & (alive > 0.5)
                 t_excl = jnp.exp(tlog + cum - log_om)
                 w = jnp.where(include, alpha * t_excl, 0.0)
 
-                # Color accumulation on the MXU: contract the [P,KB] weights
-                # against the [3,KB] color rows (no transposes needed).
-                c3k = attrs_ref[0, pl.ds(CR, 3), sl].astype(
-                    jnp.float32)                           # [3, KB]
-                rgb_n = rgb + jax.lax.dot_general(
-                    w, c3k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [P, 3]
+                # Color accumulation as three exact VPU lane-reductions —
+                # a [P,KB]×[KB,3] MXU dot pads the 3-channel output to a
+                # full tile and (since DEFAULT bf16 is too coarse here)
+                # would need 6 HIGHEST passes.
+                ch_ = lambda c: attrs_ref[0, c, sl][None, :].astype(
+                    jnp.float32)
+                rgb_n = rgb + jnp.concatenate(
+                    [jnp.sum(w * ch_(c), axis=1, keepdims=True)
+                     for c in (CR, CG, CB_)], axis=1)      # [P, 3]
                 ivd_n = ivd + jnp.sum(
                     w * attrs_ref[0, ID, sl][None, :].astype(jnp.float32),
                     axis=1, keepdims=True)
+                # A fail anywhere in the block kills the pixel for all
+                # later blocks (fail is suffix-monotone within a block).
+                alive_n = jnp.where(fail[:, -1:], 0.0, alive)
                 return (tlog + jnp.sum(jnp.where(include, log_om, 0.0),
                                        axis=1, keepdims=True),
                         ncontrib + jnp.sum(include.astype(jnp.float32),
                                            axis=1, keepdims=True),
                         rgb_n, ivd_n,
-                        acc + jnp.sum(w, axis=1, keepdims=True))
+                        acc + jnp.sum(w, axis=1, keepdims=True), alive_n)
 
             return jax.lax.cond(all_done, lambda _: carry, live, None)
 
         z = jnp.zeros((P, 1), jnp.float32)
         z3 = jnp.zeros((P, 3), jnp.float32)
-        tlog, nc, rgb, ivd, acc = jax.lax.fori_loop(
-            0, n_blocks, body, (z, z, z3, z, z))
+        tlog, nc, rgb, ivd, acc, _ = jax.lax.fori_loop(
+            0, n_blocks, body, (z, z, z3, z, z, jnp.ones((P, 1), jnp.float32)))
 
         t_final = jnp.exp(tlog)
         rgb = rgb + jnp.concatenate(
@@ -186,24 +217,19 @@ def _make_bwd_kernel(tiles_x: int):
                 include = kidx < ncontrib
                 alpha_i = jnp.where(include, alpha, 0.0)
                 log_om = jnp.log1p(-alpha_i)
-                suf_in = jnp.dot(log_om, tri_suf,
-                                 preferred_element_type=jnp.float32)
+                suf_in = _tri_dot(log_om, tri_suf)
                 t_excl = jnp.exp(tlog_after - (suf_in + log_om))
                 w = alpha_i * t_excl
 
                 ch = lambda cidx: attrs_ref[0, cidx, sl][None, :].astype(
                     jnp.float32)
-                c3k = attrs_ref[0, pl.ds(CR, 3), sl].astype(
-                    jnp.float32)                       # [3, KB]
-                g3p = g_ref[0, pl.ds(OR, 3), :]        # [3, P]
-                pg = (jax.lax.dot_general(
-                    g3p, c3k, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                    + g_ivd * ch(ID) + g_acc)          # [P, KB]
+                # 3-term contraction as broadcast FMAs: a K=3 MXU dot pads
+                # the contraction to a full systolic pass (6 at HIGHEST);
+                # the VPU does it exactly for ~3 fused multiply-adds.
+                pg = (g_r * ch(CR) + g_g * ch(CG) + g_b * ch(CB_)
+                      + g_ivd * ch(ID) + g_acc)        # [P, KB]
                 wpg = w * pg
-                suf_after = (jnp.dot(wpg, tri_suf,
-                                     preferred_element_type=jnp.float32)
-                             + suffix)
+                suf_after = _tri_dot(wpg, tri_suf) + suffix
                 one_m = jnp.maximum(1.0 - alpha_i, 1e-4)
                 g_alpha = jnp.where(
                     include & ok,
@@ -219,9 +245,11 @@ def _make_bwd_kernel(tiles_x: int):
                 d_ca = col(g_power * (-0.5 * dx * dx))
                 d_cb = col(g_power * (-dx * dy))
                 d_cc = col(g_power * (-0.5 * dy * dy))
-                d_rgb = jax.lax.dot_general(
-                    g3p, w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [3, KB]
+                # [3, KB] via exact VPU sublane reductions (see fwd color
+                # note: a 3-row MXU dot wastes a padded HIGHEST pass).
+                d_rgb = jnp.concatenate(
+                    [jnp.sum(gc * w, axis=0)[None, :]
+                     for gc in (g_r, g_g, g_b)], axis=0)  # [3, KB]
                 # ∂α/∂opac = exp(power) on the unclamped branch (clamped to
                 # ≤ 0: excluded slots have g_alpha 0 anyway).
                 expp = jnp.exp(jnp.minimum(power, 0.0))
@@ -322,14 +350,16 @@ def _blocked_cumsum_cm(rows: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     tri_t = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
              <= jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
              ).astype(rows.dtype)
-    within = jax.lax.dot_general(r, tri_t, (((2,), (0,)), ((), ())))
+    within = jax.lax.dot_general(r, tri_t, (((2,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGH)
     totals = within[:, :, -1]                                 # [C, nb]
     # tribT[b, a] = (b < a): exclusive prefix of block totals.
     trib_t = (jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
               < jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
               ).astype(rows.dtype)
     offsets = jax.lax.dot_general(totals, trib_t,
-                                  (((1,), (0,)), ((), ())))   # [C, nb]
+                                  (((1,), (0,)), ((), ())),
+                                  precision=jax.lax.Precision.HIGH)
     return (within + offsets[:, :, None]).reshape(c, m + pad)[:, :m]
 
 

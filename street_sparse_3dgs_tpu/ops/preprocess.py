@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import sh as shlib
@@ -53,10 +54,13 @@ def project_gaussians(
     ones = jnp.ones((n, 1), means3d.dtype)
     hom = jnp.concatenate([means3d, ones], axis=1)          # [N, 4]
 
-    p_view = hom @ camera.viewmatrix.T                      # [N, 4]
+    # Positions must not ride the MXU's bf16 default (pixel-scale error at
+    # street-scene coordinate magnitudes): force true-f32 matmuls.
+    hi = jax.lax.Precision.HIGHEST
+    p_view = jnp.matmul(hom, camera.viewmatrix.T, precision=hi)   # [N, 4]
     depth = p_view[:, 2]
 
-    p_clip = hom @ camera.projmatrix.T                      # [N, 4]
+    p_clip = jnp.matmul(hom, camera.projmatrix.T, precision=hi)   # [N, 4]
     w = p_clip[:, 3]
     w_safe = jnp.where(jnp.abs(w) > 1e-7, w, 1e-7)
     ndc = p_clip[:, :2] / w_safe[:, None]
@@ -66,7 +70,8 @@ def project_gaussians(
 
     cov3d = build_covariance(scales, quats, scale_modifier)  # [N, 3, 3]
     W = camera.viewmatrix[:3, :3]
-    cov_cam = W @ cov3d @ W.T                                # world→camera rotate
+    cov_cam = jnp.matmul(
+        jnp.matmul(W, cov3d, precision=hi), W.T, precision=hi)
     cov2d = project_cov3d(cov_cam, p_view[:, :3],
                           camera.focal_x, camera.focal_y,
                           camera.tan_fovx, camera.tan_fovy)

@@ -167,3 +167,48 @@ def test_bf16_attr_mode_bounded_deviation():
     mask = gn > 1e-6
     rel = np.abs(g32 - g16).max(axis=1)[mask] / (gn[mask] + 1e-12)
     assert np.median(rel) < 0.1
+
+
+def test_terminated_pixels_stay_terminated_across_blocks():
+    """Regression: pixels that cross the 1e-4 transmittance threshold
+    mid-block must not resume contributing in later 128-wide gaussian
+    blocks.  The fwd deviation is tiny (weights near T_EPS) but it breaks
+    the backward's prefix assumption (included slots = first ncontrib),
+    which reconstructs transmittance as exp(+large) and produced 1e5-scale
+    garbage gradients — the failure mode that stalled real-TPU training
+    while all benign-scene parity tests stayed green.
+
+    Scene: opaque front gaussians (terminate every pixel inside block 0)
+    followed by a long tail of barely-above-alpha-min gaussians (the
+    resume bait)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+    from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+
+    s = make_toy_scene(seed=5, n=320, n_cameras=1, width=64, height=48)
+    rng = np.random.default_rng(0)
+    # depth-sorted bait: front third opaque, back two thirds faint
+    opac = np.where(np.arange(320) < 100,
+                    rng.uniform(0.9, 0.99, 320),
+                    rng.uniform(0.006, 0.012, 320)).astype(np.float32)
+    # big footprints so every gaussian covers many pixels
+    scales = np.full((320, 3), 0.35, np.float32)
+    bg = jnp.array([0.2, 0.4, 0.6])
+
+    def grads(cfg):
+        def loss(m, sc, o):
+            out = rasterize(m, sc, s.quats, o, s.sh_coeffs,
+                            s.cameras[0], 3, bg, cfg)
+            return jnp.mean(jnp.abs(out["render"]))
+        g = jax.grad(loss, argnums=(0, 1, 2))(
+            s.means3d, jnp.asarray(scales), jnp.asarray(opac))
+        return [np.asarray(x) for x in g]
+
+    gT = grads(RasterConfig(method="tiled", max_dup=64, tile_capacity=256))
+    gP = grads(RasterConfig(method="pallas", max_dup=64, tile_capacity=256))
+    for a, b in zip(gT, gP):
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=2e-4 * scale + 1e-8, rtol=0)
