@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..models.gaussians import GaussianParams
@@ -70,6 +71,38 @@ def pixel_limit(tau: float, tan_fovx: float, width: int) -> float:
     """Convert a target granularity in pixels (τ) to the world size-over-
     distance limit (reference ``render_hierarchy.py:61``)."""
     return (2.0 * (tau + 0.5)) * tan_fovx / (0.5 * width)
+
+
+def budget_limit(h: Hierarchy, campos: jnp.ndarray, budget: int,
+                 iters: int = 20) -> jnp.ndarray:
+    """Smallest (finest) size-over-distance limit whose cut stays within
+    ``budget`` rendered nodes — the SIBR hierarchy viewer's VRAM
+    ``--budget`` auto-regulation (README.md:233-256), reformulated as a
+    jittable bisection: the cut size is non-increasing in the limit, so
+    ~20 halvings pin the finest limit that fits.  Pair with
+    ``select_cut(h, campos, budget_limit(...))``."""
+    eps = 1e-6
+    d_center = jnp.linalg.norm(h.box_center - campos[None, :], axis=-1)
+    d = jnp.maximum(d_center - jnp.linalg.norm(h.box_half, axis=-1), eps)
+    metric = h.size / d
+    parent = jnp.where(h.parent >= 0, h.parent, 0)
+    parent_metric = jnp.where(h.parent < 0, jnp.inf, metric[parent])
+    is_leaf = h.child_count == 0
+
+    def count(lim):
+        return jnp.sum((((metric <= lim) | is_leaf)
+                        & (parent_metric > lim)).astype(jnp.int32))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        fits = count(mid) <= budget
+        return (jnp.where(fits, lo, mid), jnp.where(fits, mid, hi))
+
+    hi0 = jnp.maximum(jnp.max(jnp.where(jnp.isfinite(metric), metric, 0.0)),
+                      1.0) * 2.0
+    _, hi = jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), hi0))
+    return hi
 
 
 def select_cut(h: Hierarchy, campos: jnp.ndarray, limit) -> Cut:

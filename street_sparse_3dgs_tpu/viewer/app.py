@@ -88,12 +88,16 @@ class SceneSource:
     ``path``: a ``point_cloud.ply`` / directory containing one, or a
     ``*.hier.npz`` / ``*.hier_opt.npz`` hierarchy file."""
 
-    def __init__(self, path: str | Path, sh_degree: int = 3):
+    def __init__(self, path: str | Path, sh_degree: int = 3,
+                 point_budget: int = 0):
         import jax.numpy as jnp
 
         from ..ops.rasterize import RasterConfig
 
         self.sh_degree = sh_degree
+        # >0: auto-regulate the hierarchy cut to this many rendered nodes
+        # instead of the UI's tau slider (SIBR --budget analog).
+        self.point_budget = int(point_budget)
         self.cfg = RasterConfig()
         self.bg = jnp.zeros(3, jnp.float32)
         self.hierarchy = None
@@ -159,10 +163,15 @@ class SceneSource:
         with self._lock:
             if self.hierarchy is not None:
                 from ..hierarchy.render import render_cut_compact
-                from ..hierarchy.structure import pixel_limit, select_cut
+                from ..hierarchy.structure import (budget_limit, pixel_limit,
+                                                   select_cut)
 
                 h = self.hierarchy
-                limit = pixel_limit(tau, float(cam.tan_fovx), width)
+                if self.point_budget:
+                    # SIBR viewer --budget analog: auto-regulate the cut.
+                    limit = budget_limit(h, cam.campos, self.point_budget)
+                else:
+                    limit = pixel_limit(tau, float(cam.tan_fovx), width)
                 cut = select_cut(h, cam.campos, limit)
                 out = render_cut_compact(h.params, cut, h.n_nodes,
                                          h.skybox_count, cam,
@@ -424,6 +433,10 @@ def main(argv=None):
                         "instead of loading a scene")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--budget", type=int, default=0,
+                   help="auto-regulate the hierarchy cut to at most this "
+                        "many rendered nodes (overrides the tau slider; "
+                        "SIBR viewer --budget analog)")
     args = p.parse_args(argv)
     if (args.source is None) == (args.live is None):
         p.error("exactly one of --source / --live is required")
@@ -431,7 +444,8 @@ def main(argv=None):
         host, _, port = args.live.rpartition(":")
         source = LiveSource(host or "127.0.0.1", int(port))
     else:
-        source = SceneSource(args.source, sh_degree=args.sh_degree)
+        source = SceneSource(args.source, sh_degree=args.sh_degree,
+                             point_budget=args.budget)
     ViewerApp(source, port=args.port).serve_forever()
 
 

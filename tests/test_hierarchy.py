@@ -227,3 +227,26 @@ def test_random_limit_distribution():
     # log-uniform: median near geometric mean sqrt(0.005*0.1)=0.0224
     med = sorted(vals)[1000]
     assert 0.015 < med < 0.032
+
+
+def test_budget_limit_caps_cut_size(built):
+    """budget_limit (the SIBR viewer --budget analog) must return the
+    finest limit whose cut fits the node budget."""
+    import numpy as np
+
+    from street_sparse_3dgs_tpu.hierarchy.structure import (budget_limit,
+                                                            select_cut)
+
+    h, params, scene = built
+    campos = jnp.asarray(np.array([3.0, 0.0, 1.0], np.float32))
+    for budget in (1, 8, 32, 10_000):
+        lim = budget_limit(h, campos, budget)
+        n = int(jnp.sum(select_cut(h, campos, lim).selected))
+        assert 1 <= n <= budget
+    # A generous budget should admit a finer cut than a tight one.
+    lim_tight = float(budget_limit(h, campos, 4))
+    lim_loose = float(budget_limit(h, campos, 64))
+    assert lim_loose <= lim_tight
+    n_tight = int(jnp.sum(select_cut(h, campos, lim_tight).selected))
+    n_loose = int(jnp.sum(select_cut(h, campos, lim_loose).selected))
+    assert n_loose >= n_tight
