@@ -129,10 +129,12 @@ def compact_cut_params(h_params: GaussianParams, cut: Cut, n_nodes: int,
 
 def render_cut_compact(h_params: GaussianParams, cut: Cut, n_nodes: int,
                        skybox_count: int, camera, sh_degree: int,
-                       bg: jnp.ndarray, config: RasterConfig = RasterConfig()):
+                       bg: jnp.ndarray, config: RasterConfig = RasterConfig(),
+                       scale_modifier: float = 1.0):
     """Evaluation-path render over the compacted cut (non-differentiable
     boundary: compaction happens on the host)."""
     xyz, scales, quats, opac, sh, active = compact_cut_params(
         h_params, cut, n_nodes, skybox_count)
     return rasterize(xyz, scales, quats, opac, sh, camera, sh_degree, bg,
-                     config, active_mask=active)
+                     config, scale_modifier=scale_modifier,
+                     active_mask=active)

@@ -73,6 +73,19 @@ def pixel_limit(tau: float, tan_fovx: float, width: int) -> float:
     return (2.0 * (tau + 0.5)) * tan_fovx / (0.5 * width)
 
 
+def _cut_metric(h: Hierarchy, campos: jnp.ndarray):
+    """(metric, parent_metric, is_leaf) — THE cut-selection predicate
+    inputs, shared by ``select_cut`` and ``budget_limit`` so the bisection
+    counts exactly what selection selects."""
+    eps = 1e-6
+    d_center = jnp.linalg.norm(h.box_center - campos[None, :], axis=-1)
+    d = jnp.maximum(d_center - jnp.linalg.norm(h.box_half, axis=-1), eps)
+    metric = h.size / d
+    parent = jnp.where(h.parent >= 0, h.parent, 0)
+    parent_metric = jnp.where(h.parent < 0, jnp.inf, metric[parent])
+    return metric, parent_metric, h.child_count == 0
+
+
 def budget_limit(h: Hierarchy, campos: jnp.ndarray, budget: int,
                  iters: int = 20) -> jnp.ndarray:
     """Smallest (finest) size-over-distance limit whose cut stays within
@@ -81,13 +94,7 @@ def budget_limit(h: Hierarchy, campos: jnp.ndarray, budget: int,
     jittable bisection: the cut size is non-increasing in the limit, so
     ~20 halvings pin the finest limit that fits.  Pair with
     ``select_cut(h, campos, budget_limit(...))``."""
-    eps = 1e-6
-    d_center = jnp.linalg.norm(h.box_center - campos[None, :], axis=-1)
-    d = jnp.maximum(d_center - jnp.linalg.norm(h.box_half, axis=-1), eps)
-    metric = h.size / d
-    parent = jnp.where(h.parent >= 0, h.parent, 0)
-    parent_metric = jnp.where(h.parent < 0, jnp.inf, metric[parent])
-    is_leaf = h.child_count == 0
+    metric, parent_metric, is_leaf = _cut_metric(h, campos)
 
     def count(lim):
         return jnp.sum((((metric <= lim) | is_leaf)
@@ -117,15 +124,10 @@ def select_cut(h: Hierarchy, campos: jnp.ndarray, limit) -> Cut:
     descend past the node, 0 just after it left the parent.
     """
     eps = 1e-6
-    d_center = jnp.linalg.norm(h.box_center - campos[None, :], axis=-1)
-    d = jnp.maximum(d_center - jnp.linalg.norm(h.box_half, axis=-1), eps)
-    metric = h.size / d
-
+    metric, parent_metric, is_leaf = _cut_metric(h, campos)
     parent = jnp.where(h.parent >= 0, h.parent, 0)
     is_root = h.parent < 0
-    parent_metric = jnp.where(is_root, jnp.inf, metric[parent])
 
-    is_leaf = h.child_count == 0
     small_enough = (metric <= limit) | is_leaf
     selected = small_enough & (parent_metric > limit)
 

@@ -59,8 +59,12 @@ def load_packed_bin(path: str | Path) -> GaussianParams:
     if n == 0:
         k = 16
     else:
-        per_row = body.size // n
-        k = (per_row - 11) // 3          # 3 + 3K + 1 + 3 + 4 floats per row
+        per_row, rem = divmod(body.size, n)
+        k, krem = divmod(per_row - 11, 3)   # 3 + 3K + 1 + 3 + 4 per row
+        if rem or krem or k < 1 or body.size != n * (11 + 3 * k):
+            raise ValueError(
+                f"{path}: corrupt point_cloud.bin — {body.size} floats do "
+                f"not factor as n*(11+3K) for n={n}")
     sizes = [3 * n, 3 * k * n, n, 3 * n, 4 * n]
     off, parts = 0, []
     for s in sizes:

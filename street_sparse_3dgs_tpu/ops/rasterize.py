@@ -38,10 +38,13 @@ class RasterConfig:
     max_dup: int = 64            # per-Gaussian tile-coverage cap
     tile_capacity: int = 512     # per-tile Gaussian cap (K)
     tiles_chunk: int = 16        # tiles blended per scan step (memory knob)
-    # "bf16": pallas-path blend attributes (and their backward per-slot
-    # grads) packed bfloat16 — halves gather/sort traffic; blending still
-    # accumulates in f32.  ~1e-3 image deviation vs f32 (bounded by a
-    # dedicated parity test); training-quality use at your own judgement.
+    # "bf16": EXPERIMENTAL — pallas-path blend attributes (and their
+    # backward per-slot grads) packed bfloat16 with f32 blend accumulators.
+    # Measured NOT faster on v5e (the TPU sort does not reward narrower
+    # payloads) and it quantizes ABSOLUTE pixel coordinates: bf16 spacing
+    # is 2 px for coords in [256,512), so splat centers shift O(1) px at
+    # ≥512-wide resolutions (fine ≤256).  Kept only as a documented
+    # negative result; default f32 is both faster and exact.
     attr_dtype: str = "f32"      # "f32" | "bf16" (pallas method only)
 
 

@@ -45,9 +45,13 @@ def init_distributed(coordinator_address: str | None = None,
     TPU pods, from the TPU metadata that ``jax.distributed`` autodetects).
     Safe to call twice — a second call is a no-op returning the current
     identity."""
+    # Peek ONLY at jax's distributed state: jax.process_count()/index()
+    # would initialize the XLA backend, after which
+    # jax.distributed.initialize() refuses to run — the guard itself would
+    # make the join path dead on arrival.
     from jax._src import distributed as _dist
     already = getattr(getattr(_dist, "global_state", None), "client", None)
-    if jax.process_count() > 1 or already is not None:
+    if already is not None:
         return jax.process_index(), jax.process_count()
     coordinator_address = coordinator_address or os.environ.get(
         ENV_COORDINATOR)
@@ -58,6 +62,8 @@ def init_distributed(coordinator_address: str | None = None,
     if coordinator_address is None and num_processes is None:
         # Nothing to join: stay a single-process runtime (the TPU-pod
         # autodetect path would hang off-pod, so require explicit config).
+        # Literal (0, 1) — calling jax.process_index() here would
+        # initialize the backend and poison a later initialize().
         return 0, 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -77,6 +83,14 @@ def host_identity(host_id: int | None = None,
     if num_hosts is None:
         num_hosts = jax.process_count()
     if host_id is None:
+        if num_hosts > jax.process_count():
+            # Every process would resolve to index 0 and train the same
+            # chunk partition while the others never get produced.
+            raise ValueError(
+                f"num_hosts={num_hosts} exceeds the runtime process count "
+                f"({jax.process_count()}): pass host_id explicitly (the "
+                "launcher contract) or join the runtime via "
+                "init_distributed() first")
         host_id = jax.process_index() if num_hosts > 1 else 0
     if not (0 <= host_id < num_hosts):
         raise ValueError(f"host_id {host_id} out of range for "

@@ -102,18 +102,25 @@ class SceneSource:
         self.bg = jnp.zeros(3, jnp.float32)
         self.hierarchy = None
         path = Path(path)
-        if path.is_dir() and (path / "point_cloud.ply").exists():
-            path = path / "point_cloud.ply"
+        if path.is_dir():
+            if (path / "point_cloud.ply").exists():
+                path = path / "point_cloud.ply"
+            elif (path / "point_cloud.bin").exists():
+                path = path / "point_cloud.bin"
         if path.name.endswith((".hier.npz", ".hier_opt.npz")):
             from ..hierarchy.io import load_hierarchy
 
             self.hierarchy = load_hierarchy(path)
             xyz = np.asarray(self.hierarchy.params.xyz)
-        elif path.suffix == ".ply":
-            from ..data.ply import load_gaussian_ply
-            from ..models import gaussians as G
+        elif path.suffix in (".ply", ".bin"):
+            if path.suffix == ".bin":
+                from ..models.serialize import load_packed_bin
 
-            p = load_gaussian_ply(path)
+                p = load_packed_bin(path)
+            else:
+                from ..data.ply import load_gaussian_ply
+
+                p = load_gaussian_ply(path)
             self.arrays = (
                 jnp.asarray(p.xyz), jnp.exp(jnp.asarray(p.log_scales)),
                 jnp.asarray(p.quats),
@@ -175,7 +182,8 @@ class SceneSource:
                 cut = select_cut(h, cam.campos, limit)
                 out = render_cut_compact(h.params, cut, h.n_nodes,
                                          h.skybox_count, cam,
-                                         self.sh_degree, self.bg, self.cfg)
+                                         self.sh_degree, self.bg, self.cfg,
+                                         scale_modifier=scaling)
                 img = np.clip(np.asarray(out["render"]), 0, 1)
                 self.last_overflow = int(out["tile_overflow"])
             else:
@@ -200,6 +208,9 @@ class LiveSource:
                  keep_alive: bool = True):
         self.sock = socket.create_connection((host, port))
         self.keep_alive = keep_alive
+        # ThreadingHTTPServer serves frames concurrently; the wire protocol
+        # is one request/response at a time — serialize transactions.
+        self._lock = threading.Lock()
         self.center = np.zeros(3)
         self.radius = 5.0
         self.n_points = -1
@@ -235,10 +246,11 @@ class LiveSource:
             "view_matrix": view, "view_projection_matrix": viewproj,
         }
         blob = json.dumps(msg).encode("utf-8")
-        self.sock.sendall(struct.pack("<I", len(blob)) + blob)
-        img = self._recv_exact(width * height * 3)
-        n = struct.unpack("<I", self._recv_exact(4))[0]
-        self._recv_exact(n)                     # verify string (source path)
+        with self._lock:
+            self.sock.sendall(struct.pack("<I", len(blob)) + blob)
+            img = self._recv_exact(width * height * 3)
+            n = struct.unpack("<I", self._recv_exact(4))[0]
+            self._recv_exact(n)                 # verify string (source path)
         return np.frombuffer(img, np.uint8).reshape(height, width, 3)
 
     def _recv_exact(self, n: int) -> bytes:

@@ -176,7 +176,14 @@ class TestDistributedIdentity:
     def test_explicit_override_wins(self):
         from street_sparse_3dgs_tpu.parallel.distributed import host_identity
         assert host_identity(2, 4) == (2, 4)
-        assert host_identity(None, 4) == (0, 4)
+
+    def test_ambiguous_fanout_rejected(self):
+        # num_hosts beyond the runtime's process count with no explicit
+        # host_id would map EVERY host to partition 0 — must error.
+        import pytest
+        from street_sparse_3dgs_tpu.parallel.distributed import host_identity
+        with pytest.raises(ValueError, match="process count"):
+            host_identity(None, 4)
 
     def test_out_of_range_rejected(self):
         import pytest

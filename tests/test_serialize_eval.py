@@ -131,3 +131,14 @@ def test_packed_bin_roundtrip_and_layout(tmp_path, state_meta):
     want = np.concatenate([np.asarray(state.params.features_dc[0]),
                            np.asarray(state.params.features_rest[0])]).ravel()
     np.testing.assert_array_equal(f0, want)
+
+
+def test_packed_bin_rejects_corrupt_file(tmp_path):
+    import pytest
+
+    from street_sparse_3dgs_tpu.models.serialize import load_packed_bin
+
+    bad = tmp_path / "point_cloud.bin"
+    bad.write_bytes(np.int32(7).tobytes() + np.zeros(100, np.float32).tobytes())
+    with pytest.raises(ValueError, match="corrupt"):
+        load_packed_bin(bad)

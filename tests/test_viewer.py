@@ -202,7 +202,8 @@ def test_viewer_app_http_roundtrip(tmp_path):
 
         conn = http.client.HTTPConnection("127.0.0.1", app.port, timeout=30)
         conn.request("GET", "/")
-        assert b"canvas" in conn.getresponse().read() or True
+        page = conn.getresponse().read()
+        assert b"street_sparse_3dgs_tpu" in page and b"tick()" in page
         conn.request("GET", "/info")
         info = json.loads(conn.getresponse().read())
         assert info["n_points"] == 256
