@@ -80,3 +80,52 @@ def copy_file_to_chunks(file_path, chunks_dir,
             shutil.copy2(src, dst_dir / src.name)
             n += 1
     return n
+
+
+def _dilate(mask: "np.ndarray", k: int = 5) -> "np.ndarray":
+    """Binary max-filter with a k×k square element (numpy shifts — no cv2
+    dependency)."""
+    import numpy as np
+
+    r = k // 2
+    padded = np.pad(mask, r, mode="edge")
+    out = np.zeros_like(mask)
+    for dy in range(k):
+        for dx in range(k):
+            out = np.maximum(
+                out, padded[dy:dy + mask.shape[0], dx:dx + mask.shape[1]])
+    return out
+
+
+def black_mask(project_dir, dilate: int = 5, quality: int = 95) -> int:
+    """Blacken masked-out pixels of every rectified image in place
+    (reference ``preprocess/black_mask.py``: 5×5 mask dilation, then
+    ``img[mask == 0] = 0`` re-encoded at JPEG quality 95).  Masks live in
+    ``rectified/masks/<same relpath>.png``; images may sit flat or in
+    per-camera folders.  Returns the number of images rewritten."""
+    import numpy as np
+    from PIL import Image
+
+    root = Path(project_dir) / "camera_calibration" / "rectified"
+    images_dir, masks_dir = root / "images", root / "masks"
+    done = 0
+    for img_path in sorted(images_dir.rglob("*")):
+        if img_path.suffix.lower() not in (".jpg", ".jpeg", ".png"):
+            continue
+        rel = img_path.relative_to(images_dir)
+        mask_path = masks_dir / rel.with_suffix(".png")
+        if not mask_path.exists():
+            continue
+        img = np.asarray(Image.open(img_path).convert("RGB")).copy()
+        mask = np.asarray(Image.open(mask_path).convert("L"))
+        if mask.shape != img.shape[:2]:
+            mask = np.asarray(Image.open(mask_path).convert("L").resize(
+                (img.shape[1], img.shape[0]), Image.NEAREST))
+        keep = _dilate((mask > 0).astype(np.uint8), dilate)
+        img[keep == 0] = 0
+        save_kwargs = ({"quality": quality}
+                       if img_path.suffix.lower() in (".jpg", ".jpeg")
+                       else {})
+        Image.fromarray(img).save(img_path, **save_kwargs)
+        done += 1
+    return done

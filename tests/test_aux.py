@@ -195,3 +195,26 @@ def test_profiling_trace_and_summary(tmp_path):
     rows = profiling.summarize_trace(tdir, iters=2, device_only=False)
     assert rows and all("ms" in r for r in rows)
     profiling.print_summary(rows, top=3)
+
+
+def test_black_mask_blackens_outside_dilated_mask(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from street_sparse_3dgs_tpu.preprocess.inputs import black_mask
+
+    rect = tmp_path / "camera_calibration" / "rectified"
+    (rect / "images" / "cam1").mkdir(parents=True)
+    (rect / "masks" / "cam1").mkdir(parents=True)
+    img = np.full((32, 32, 3), 200, np.uint8)
+    Image.fromarray(img).save(rect / "images" / "cam1" / "a.png")
+    mask = np.zeros((32, 32), np.uint8)
+    mask[10:20, 10:20] = 255
+    Image.fromarray(mask).save(rect / "masks" / "cam1" / "a.png")
+
+    assert black_mask(tmp_path) == 1
+    out = np.asarray(Image.open(rect / "images" / "cam1" / "a.png"))
+    assert (out[0, 0] == 0).all()            # far outside: blackened
+    assert (out[15, 15] == 200).all()        # inside mask: kept
+    assert (out[8, 15] == 200).all()         # within 5x5 dilation: kept
+    assert (out[5, 15] == 0).all()           # beyond dilation: blackened
