@@ -142,3 +142,29 @@ def test_packed_bin_rejects_corrupt_file(tmp_path):
     bad.write_bytes(np.int32(7).tobytes() + np.zeros(100, np.float32).tobytes())
     with pytest.raises(ValueError, match="corrupt"):
         load_packed_bin(bad)
+
+
+def test_group_cameras_by_center():
+    """render_position groups panorama faces by shared (rounded) camera
+    center (reference render_position.py:20-45)."""
+    from types import SimpleNamespace
+
+    from street_sparse_3dgs_tpu.eval.render_position import (
+        group_cameras_by_center)
+
+    def cam(center, yaw):
+        c, s_ = np.cos(yaw), np.sin(yaw)
+        r_wc = np.array([[c, -s_, 0.0], [s_, c, 0.0], [0.0, 0.0, 1.0]])
+        t = -r_wc @ np.asarray(center, np.float64)
+        # readers store R as the camera-to-world rotation (R = R_wc.T)
+        return SimpleNamespace(R=r_wc.T, T=t)
+
+    infos = [cam([1.0, 2.0, 0.5], yaw) for yaw in (0.0, 1.0, 2.0)] \
+        + [cam([5.0, 2.0, 0.5], yaw) for yaw in (0.0, 1.0)] \
+        + [cam([1.0, 2.0001, 0.5], 3.0)]     # rounds into group 1
+    groups = group_cameras_by_center(infos)
+    sizes = sorted(len(v) for v in groups.values())
+    assert len(groups) == 2 and sizes == [2, 4]
+    for key, members in groups.items():
+        for _, center in members:
+            np.testing.assert_allclose(np.round(center, 2), key, atol=1e-9)
