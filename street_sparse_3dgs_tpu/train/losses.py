@@ -56,10 +56,14 @@ def _blur(img: jnp.ndarray, window_size: int = 11,
     kx = w.reshape(1, 1, 1, window_size)
     dn = jax.lax.conv_dimension_numbers(x.shape, ky.shape,
                                         ("NCHW", "OIHW", "NCHW"))
+    # HIGHEST: TPU conv default is bf16 MXU passes — the SSIM window sums
+    # feed the training loss, keep them true f32 (same class as the MXU
+    # dot-precision fixes in ops/).
+    hi = jax.lax.Precision.HIGHEST
     x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(pad, pad), (0, 0)],
-                                     dimension_numbers=dn)
+                                     dimension_numbers=dn, precision=hi)
     x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (pad, pad)],
-                                     dimension_numbers=dn)
+                                     dimension_numbers=dn, precision=hi)
     return x[:, 0]                                       # [C,H,W]
 
 
