@@ -134,9 +134,12 @@ def _features(x: jnp.ndarray, w: dict) -> list[jnp.ndarray]:
     i = 0
     for bi, block in enumerate(_BLOCKS):
         for cout in block:
+            # HIGH (3-pass bf16): keeps reported LPIPS comparable to the
+            # torch f32 reference without HIGHEST's 6-pass cost.
             x = jax.lax.conv_general_dilated(
                 x, jnp.asarray(w[f"conv{i}_w"]), (1, 1), "SAME",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=jax.lax.Precision.HIGH)
             x = x + jnp.asarray(w[f"conv{i}_b"])[None, :, None, None]
             x = jax.nn.relu(x)
             i += 1
