@@ -308,3 +308,53 @@ def test_random_background_per_step(toy):
                              use_trained_exp=False)
     _, aux_b = step_b(state, batches[0])
     np.testing.assert_allclose(np.asarray(aux_b["bg"]), 0.0)
+
+
+def test_pallas_path_training_improves():
+    """Train THROUGH the Pallas kernels (interpret off-TPU) and require the
+    loss to drop substantially.  Guards the kernel fwd/bwd consistency the
+    per-step parity gates cannot see compounding over optimization — the
+    round-2 cross-block-termination bug passed every parity test yet
+    stalled training exactly like this test would have caught."""
+    import numpy as np
+
+    from street_sparse_3dgs_tpu.config import (OptimizationConfig,
+                                               PipelineConfig)
+    from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+    from street_sparse_3dgs_tpu.models.gaussians import create_from_pcd
+    from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+    from street_sparse_3dgs_tpu.train.step import (CameraBatch, init_state,
+                                                   make_train_step)
+
+    RES = 64
+    scene = make_toy_scene(seed=2, n=200, n_cameras=3, width=RES, height=RES)
+    gts = [rasterize(scene.means3d, scene.scales, scene.quats,
+                     scene.opacities, scene.sh_coeffs, c, 3, jnp.zeros(3),
+                     RasterConfig(method="oracle"))["render"]
+           for c in scene.cameras]
+    key = jax.random.PRNGKey(0)
+    pts = np.asarray(scene.means3d) + 0.02 * np.asarray(
+        jax.random.normal(key, scene.means3d.shape))
+    params, active, meta = create_from_pcd(
+        key, pts, np.full((200, 3), 0.5), capacity=256)
+    batches = [CameraBatch(camera=c, gt_image=jnp.clip(g, 0, 1),
+                           alpha_mask=jnp.ones((1, RES, RES)),
+                           mono_invdepth=jnp.zeros((1, RES, RES)),
+                           depth_mask=jnp.zeros((1, RES, RES)),
+                           depth_reliable=jnp.array(False),
+                           image_index=jnp.int32(i))
+               for i, (c, g) in enumerate(zip(scene.cameras, gts))]
+    opt = OptimizationConfig(iterations=300)
+    pipe = PipelineConfig(raster_method="pallas", tile_capacity=128,
+                          max_dup=32)
+    step = make_train_step(meta, opt, pipe, 1.0)
+    state = init_state(params, active, n_images=3)
+    first, ema = None, None
+    for i in range(300):
+        state, aux = step(state, batches[i % 3])
+        l = float(aux["loss"])
+        ema = l if ema is None else 0.97 * ema + 0.03 * l
+        if i == 19:
+            first = ema
+    assert ema < 0.75 * first, (
+        f"pallas-path training stalled: EMA {first:.4f} -> {ema:.4f}")
