@@ -8,6 +8,11 @@ against the reference CUDA pipeline's implied training throughput on an RTX
 A6000: ~30k iterations in ~55 min at ~1.5 MP (README.md:220 toy-dataset
 timing → ≈ 14e6 rays/s fwd+bwd incl. optimizer overhead); we use 15e6 as a
 slightly generous round figure.
+
+Note: this dense random toy scene over-saturates the static per-tile
+capacity (the exact ellipse culling keeps ~565 pairs/tile mean vs the
+K=384 cap, counted overflow) — the config is kept fixed for cross-round
+comparability.
 """
 
 from __future__ import annotations

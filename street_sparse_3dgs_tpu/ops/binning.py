@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .oracle import ALPHA_MIN
 from .preprocess import Projected
 
 TILE = 16
@@ -167,6 +168,38 @@ def _slab_gather(sorted_vals: jnp.ndarray, starts: jnp.ndarray,
     return out[:t].reshape(t, k_cap)
 
 
+def _tile_qmin(mean2d, conic, tile_x, tile_y):
+    """Minimum of the Mahalanobis form Q(d) = a·dx² + 2b·dx·dy + c·dy²
+    over a tile's pixel box, per (gaussian, covered-tile) pair [N, D].
+
+    The blend evaluates power = −Q/2 at pixel centers; minimizing Q over
+    the continuous box [16t, 16t+15]² is a conservative lower bound, so a
+    pair culled by it (max alpha < 1/255) would have been skipped at
+    EVERY pixel by the blend's own alpha_min rule — dropping it cannot
+    change the image.  Interior test + 4 closed-form edge minimizations
+    (clamped 1-D quadratics); a, c > 0 by the conic's low-pass term."""
+    a = conic[:, 0:1]
+    b = conic[:, 1:2]
+    c = conic[:, 2:3]
+    dxl = (tile_x * TILE).astype(jnp.float32) - mean2d[:, 0:1]
+    dxr = dxl + (TILE - 1)
+    dyb = (tile_y * TILE).astype(jnp.float32) - mean2d[:, 1:2]
+    dyt = dyb + (TILE - 1)
+    inside = (dxl <= 0) & (dxr >= 0) & (dyb <= 0) & (dyt >= 0)
+
+    def edge_x(x):
+        dy = jnp.clip(-b * x / c, dyb, dyt)
+        return a * x * x + 2.0 * b * x * dy + c * dy * dy
+
+    def edge_y(y):
+        dx = jnp.clip(-b * y / a, dxl, dxr)
+        return a * dx * dx + 2.0 * b * dx * y + c * y * y
+
+    q = jnp.minimum(jnp.minimum(edge_x(dxl), edge_x(dxr)),
+                    jnp.minimum(edge_y(dyb), edge_y(dyt)))
+    return jnp.where(inside, 0.0, q)
+
+
 def bin_gaussians(proj: Projected, height: int, width: int,
                   max_dup: int, tile_capacity: int) -> TileBins:
     n = proj.depth.shape[0]
@@ -189,9 +222,21 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     nx_safe = jnp.maximum(nx, 1)
     sy = slots[None, :] // nx_safe[:, None]             # [N, D]
     sx = slots[None, :] % nx_safe[:, None]
-    tile_id = (y0[:, None] + sy) * tiles_x + (x0[:, None] + sx)
+    tile_x = x0[:, None] + sx
+    tile_y = y0[:, None] + sy
+    tile_id = tile_y * tiles_x + tile_x
     in_range = slots[None, :] < jnp.minimum(coverage, max_dup)[:, None]
-    keys = jnp.where(in_range, tile_id, t_total).astype(jnp.int32).ravel()   # [N*D]
+    # Exact ellipse-tile culling (the CUDA rect test keeps every tile the
+    # 3σ box touches; most are dead corners for anisotropic gaussians):
+    # drop pairs whose best-possible alpha over the tile stays below the
+    # blend's 1/255 skip threshold — image-identical by construction, and
+    # it cuts per-tile occupancy (overflow pressure / needed capacity).
+    qmin = _tile_qmin(proj.mean2d[order], proj.conic[order], tile_x, tile_y)
+    alpha_max = proj.opacity[order][:, None] * jnp.exp(-0.5 * qmin)
+    # small margin: per-pixel Q in the blend rounds differently
+    reaches = alpha_max >= ALPHA_MIN * (1.0 - 1e-3)
+    keys = jnp.where(in_range & reaches, tile_id,
+                     t_total).astype(jnp.int32).ravel()   # [N*D]
     ranks = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_dup)).ravel()
     vals = jnp.broadcast_to(order[:, None], (n, max_dup)).ravel()  # orig rows
