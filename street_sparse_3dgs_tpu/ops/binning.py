@@ -200,6 +200,13 @@ def _tile_qmin(mean2d, conic, tile_x, tile_y):
     return jnp.where(inside, 0.0, q)
 
 
+# Rect positions evaluated per gaussian, as a multiple of max_dup: the
+# ellipse culling drops most rect corners, so scanning extra positions and
+# compacting the survivors to max_dup recovers real tiles that plain rect
+# enumeration would lose — without growing the global pair sort.
+DUP_OVERSCAN = 4
+
+
 def bin_gaussians(proj: Projected, height: int, width: int,
                   max_dup: int, tile_capacity: int) -> TileBins:
     n = proj.depth.shape[0]
@@ -216,16 +223,16 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     nx = jnp.where(valid, x1 - x0, 0)
     ny = jnp.where(valid, y1 - y0, 0)
     coverage = nx * ny                                  # [N]
-    dup_overflow = jnp.sum(jnp.maximum(coverage - max_dup, 0))
 
-    slots = jnp.arange(max_dup, dtype=jnp.int32)        # [D]
+    scan = max_dup * DUP_OVERSCAN
+    slots = jnp.arange(scan, dtype=jnp.int32)           # [S]
     nx_safe = jnp.maximum(nx, 1)
-    sy = slots[None, :] // nx_safe[:, None]             # [N, D]
+    sy = slots[None, :] // nx_safe[:, None]             # [N, S]
     sx = slots[None, :] % nx_safe[:, None]
     tile_x = x0[:, None] + sx
     tile_y = y0[:, None] + sy
     tile_id = tile_y * tiles_x + tile_x
-    in_range = slots[None, :] < jnp.minimum(coverage, max_dup)[:, None]
+    in_range = slots[None, :] < jnp.minimum(coverage, scan)[:, None]
     # Exact ellipse-tile culling (the CUDA rect test keeps every tile the
     # 3σ box touches; most are dead corners for anisotropic gaussians):
     # drop pairs whose best-possible alpha over the tile stays below the
@@ -234,8 +241,22 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     qmin = _tile_qmin(proj.mean2d[order], proj.conic[order], tile_x, tile_y)
     alpha_max = proj.opacity[order][:, None] * jnp.exp(-0.5 * qmin)
     # small margin: per-pixel Q in the blend rounds differently
-    reaches = alpha_max >= ALPHA_MIN * (1.0 - 1e-3)
-    keys = jnp.where(in_range & reaches, tile_id,
+    keep = in_range & (alpha_max >= ALPHA_MIN * (1.0 - 1e-3))
+    # Per-row compaction: surviving tiles first, then slice to max_dup —
+    # a wide-rect gaussian whose real (elliptical) footprint fits max_dup
+    # no longer loses tiles to dead rect corners.
+    _, tile_id = jax.lax.sort(
+        ((~keep).astype(jnp.int32), tile_id), num_keys=1, is_stable=True,
+        dimension=1)
+    kept = jnp.sum(keep, axis=1)
+    # Lost work: kept survivors beyond max_dup, plus rect positions never
+    # evaluated (coverage beyond the overscan window).
+    dup_overflow = (jnp.sum(jnp.maximum(kept - max_dup, 0))
+                    + jnp.sum(jnp.maximum(coverage - scan, 0)))
+    tile_id = tile_id[:, :max_dup]
+    live = jnp.arange(max_dup, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(kept, max_dup)[:, None]
+    keys = jnp.where(live, tile_id,
                      t_total).astype(jnp.int32).ravel()   # [N*D]
     ranks = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_dup)).ravel()

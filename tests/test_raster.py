@@ -152,3 +152,57 @@ class TestSlabGather:
         padded = np.concatenate([np.asarray(vals), np.zeros(k + 1024, np.int32)])
         want = np.stack([padded[int(s):int(s) + k] for s in np.asarray(starts)])
         np.testing.assert_array_equal(got, want)
+
+
+class TestEllipseCulling:
+    def test_overscan_recovers_diagonal_tiles(self):
+        """A long thin 45°-rotated gaussian covers an R×R tile rect but only
+        ~R real tiles along the diagonal.  With rect-order enumeration
+        capped at max_dup the far diagonal tiles are lost; the ellipse
+        culling + overscan compaction must recover them (ref: the CUDA
+        rasterizer banks the full rect — this is strictly better)."""
+        from street_sparse_3dgs_tpu.ops.binning import bin_gaussians
+        from street_sparse_3dgs_tpu.ops.preprocess import Projected
+
+        n = 8
+        h = w = 128                                   # 8x8 tile grid
+        # one diagonal gaussian through the full image, 7 inactive rows
+        mean2d = np.full((n, 2), -100.0, np.float32)
+        mean2d[0] = (64.0, 64.0)
+        sigma_major, sigma_minor = 64.0, 2.0
+        # conic of a gaussian elongated along (1,1)/sqrt(2)
+        u = np.array([1.0, 1.0]) / np.sqrt(2)
+        v = np.array([-1.0, 1.0]) / np.sqrt(2)
+        cov = (sigma_major**2 * np.outer(u, u)
+               + sigma_minor**2 * np.outer(v, v))
+        ic = np.linalg.inv(cov)
+        conic = np.zeros((n, 3), np.float32)
+        conic[0] = (ic[0, 0], ic[0, 1], ic[1, 1])
+        radius = np.zeros(n, np.float32)
+        radius[0] = 3.0 * sigma_major                # rect = whole grid
+        valid = np.zeros(n, bool)
+        valid[0] = True
+        proj = Projected(
+            mean2d=jnp.asarray(mean2d), depth=jnp.asarray(
+                np.where(valid, 1.0, np.inf).astype(np.float32)),
+            inv_depth=jnp.asarray(valid.astype(np.float32)),
+            conic=jnp.asarray(conic), radius=jnp.asarray(radius),
+            color=jnp.zeros((n, 3)), opacity=jnp.asarray(
+                valid.astype(np.float32) * 0.9),
+            valid=jnp.asarray(valid))
+
+        bins = bin_gaussians(proj, h, w, max_dup=32, tile_capacity=32)
+        g = np.asarray(bins.gather)
+        m = np.asarray(bins.mask)
+        covered = {t for t in range(g.shape[0])
+                   if (m[t] & (g[t] == 0)).any()}
+        rows = {t // 8 for t in covered}
+        cols = {t % 8 for t in covered}
+        # The diagonal spans all 8 tile rows/cols; plain rect-order
+        # enumeration at max_dup=32 would stop after rect rows 0-3 (the
+        # first 32 of 64 positions), losing the lower half of the streak.
+        assert len(rows) == 8 and len(cols) == 8, (rows, cols)
+        assert int(bins.dup_overflow) == 0
+        # and the dead corners are NOT banked
+        assert (0, 7) not in {(t // 8, t % 8) for t in covered}
+        assert (7, 0) not in {(t // 8, t % 8) for t in covered}
