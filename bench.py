@@ -18,6 +18,8 @@ comparability.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 from pathlib import Path
@@ -35,7 +37,22 @@ WARMUP = 3
 ITERS = 20
 
 
+def _watchdog() -> None:
+    """Fail fast (non-zero exit, no fake metric) if the TPU tunnel hangs —
+    first compiles can take minutes, an unreachable backend hangs forever."""
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", "2400"))
+
+    def _bail(signum, frame):
+        print(f"bench.py: no result within {budget}s "
+              "(TPU backend unreachable?)", file=sys.stderr)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(budget)
+
+
 def main() -> None:
+    _watchdog()
     from street_sparse_3dgs_tpu.data.toy import make_toy_scene
     from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
 
