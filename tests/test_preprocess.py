@@ -389,3 +389,32 @@ def test_make_mask_uint8(tmp_path):
     assert out.ndim == 2
     assert out[3:7, 3:7].min() == 255
     assert out[2, 2] == 0 and out.sum() == 16 * 255
+
+
+def test_mono_depth_cli_command_and_16bit_output(tmp_path, monkeypatch):
+    """generate_depth shells out exactly like the reference
+    (generate_depth.py:27-36) when a Depth-Anything checkout exists, and
+    its 16-bit writer normalizes to the full uint16 range."""
+    import numpy as np
+
+    from street_sparse_3dgs_tpu.preprocess import mono_depth
+
+    cmd = mono_depth.depth_anything_cli_cmd("imgs", "out", encoder="vits")
+    assert cmd[2:6] == ["--encoder", "vits", "--pred-only", "--grayscale"]
+
+    da = tmp_path / "da"
+    da.mkdir()
+    (da / "run.py").write_text("")
+    monkeypatch.setenv("DEPTH_ANYTHING_DIR", str(da))
+    calls = {}
+    monkeypatch.setattr(mono_depth.subprocess, "run",
+                        lambda c, check: calls.setdefault("cmd", c))
+    mono_depth.generate_depth(tmp_path / "imgs", tmp_path / "out")
+    assert calls["cmd"][1].endswith("run.py")
+
+    from PIL import Image
+    arr = np.linspace(0.0, 4.0, 64).reshape(8, 8)
+    mono_depth._save_16bit(arr, tmp_path / "d.png")
+    back = np.asarray(Image.open(tmp_path / "d.png"))
+    assert back.dtype == np.uint16
+    assert back.min() == 0 and back.max() == 65535
