@@ -150,7 +150,7 @@ def _slab_gather(sorted_vals: jnp.ndarray, starts: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=((t + t_pad) // SLAB_GROUP,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((SLAB_GROUP, rows, LANES),
                                lambda g, s: (g, 0, 0),
                                memory_space=pltpu.VMEM),

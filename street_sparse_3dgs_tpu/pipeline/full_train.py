@@ -26,6 +26,7 @@ Project directory layout (reference ``setup_dirs``):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 import traceback
 from pathlib import Path
@@ -239,11 +240,38 @@ def post_opt_stage(paths: ProjectPaths, chunk_name: str,
 
 
 def consolidate_stage(paths: ProjectPaths, chunk_names: list[str]):
-    """Stage 5 (GaussianHierarchyMerger): merge optimized chunk hierarchies."""
-    hs = [load_hierarchy(paths.trained_chunks_dir / c
-                         / "hierarchy.hier_opt.npz") for c in chunk_names]
-    merged = merge_hierarchies(hs)
-    save_hierarchy(paths.output_dir / "merged.hier.npz", merged)
+    """Stage 5 (GaussianHierarchyMerger): merge optimized chunk hierarchies.
+
+    Single-merger semantics on shared filesystems (the reference runs the
+    Merger exactly once, ``scripts/full_train.py:259-282``): the merge is
+    claimed atomically via ``O_EXCL`` so two hosts finishing simultaneously
+    never both write, and the output lands via write-to-temp + ``os.replace``
+    so readers never observe a partial ``merged.hier.npz``.  Returns ``None``
+    when another process holds (or completed) the claim."""
+    out_path = paths.output_dir / "merged.hier.npz"
+    claim = paths.output_dir / "merged.hier.claim"
+    try:
+        fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        if out_path.exists():     # completed earlier run: idempotent re-load
+            return load_hierarchy(out_path)
+        print("consolidation already claimed by another host; skipping")
+        return None
+    try:
+        os.write(fd, f"pid={os.getpid()}\n".encode())
+    finally:
+        os.close(fd)
+    try:
+        hs = [load_hierarchy(paths.trained_chunks_dir / c
+                             / "hierarchy.hier_opt.npz") for c in chunk_names]
+        merged = merge_hierarchies(hs)
+        tmp = out_path.parent / f".merged.{os.getpid()}.hier.npz"
+        save_hierarchy(tmp, merged)
+        os.replace(tmp, out_path)
+    except BaseException:
+        # Release the claim so a retry (or another host) can merge.
+        claim.unlink(missing_ok=True)
+        raise
     return merged
 
 

@@ -23,6 +23,7 @@ from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig, OptimizationConfig, PipelineConfig
 from ..models import adam, densify
@@ -154,6 +155,14 @@ def train_loop(
     step_depth = None  # built lazily on the first depth-only batch
 
     stats = {"losses": [], "n_active": [], "overflows": 0}
+    pending_losses: list = []  # unsynced device scalars, drained periodically
+
+    def drain_losses():
+        if pending_losses:
+            stats["losses"].extend(
+                np.asarray(jnp.stack(pending_losses)).tolist())
+            pending_losses.clear()
+
     dup_acc = jnp.int32(0)
     tile_acc = jnp.int32(0)
     it = 0
@@ -191,14 +200,18 @@ def train_loop(
             hooks.on_step(it, state, aux)
         # Device scalars are kept unsynced; only the periodic progress line
         # forces a host round-trip (the per-step float() sync costs more
-        # than the math at small resolutions).  Overflow counters accumulate
-        # ON DEVICE every step so transient overflows between progress lines
-        # are never lost ("never silently drop work").
-        stats["losses"].append(aux["loss"])
+        # than the math at small resolutions).  Losses are drained to host
+        # floats at progress cadence so at most ``progress_every`` device
+        # buffers are ever live (30k+ at reference iteration counts
+        # otherwise).  Overflow counters accumulate ON DEVICE every step so
+        # transient overflows between progress lines are never lost ("never
+        # silently drop work").
+        pending_losses.append(aux["loss"])
         dup_acc = dup_acc + aux.get("dup_overflow", 0)
         tile_acc = tile_acc + aux.get("tile_overflow", 0)
         if it % progress_every == 0:
-            ema.update(float(aux["loss"]))
+            drain_losses()
+            ema.update(stats["losses"][-1])
             print(f"  it {it}/{iterations} loss(ema) {ema.value:.5f} "
                   f"visible {int(aux['n_visible'])}")
             # No silent caps: surface binning overflow (raise max_dup /
@@ -265,7 +278,7 @@ def train_loop(
                         Path(model_cfg.model_path) / f"chkpnt{it}.npz",
                         state, meta, it)
 
-    stats["losses"] = [float(v) for v in stats["losses"]]
+    drain_losses()
     stats["dup_overflow"] = int(dup_acc)
     stats["tile_overflow"] = int(tile_acc)
     if stats["dup_overflow"] or stats["tile_overflow"]:

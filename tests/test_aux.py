@@ -218,3 +218,63 @@ def test_black_mask_blackens_outside_dilated_mask(tmp_path):
     assert (out[15, 15] == 200).all()        # inside mask: kept
     assert (out[8, 15] == 200).all()         # within 5x5 dilation: kept
     assert (out[5, 15] == 0).all()           # beyond dilation: blackened
+
+
+def test_consolidation_single_merger(tmp_path, monkeypatch):
+    """Two hosts finishing simultaneously must not both run the Stage-5
+    merge (reference single-merger semantics, scripts/full_train.py:259-282):
+    the claim file is taken atomically, the output lands via os.replace, and
+    a later re-run loads the existing artifact instead of re-merging."""
+    import threading
+    import time
+
+    from street_sparse_3dgs_tpu.hierarchy.build import build_hierarchy
+    from street_sparse_3dgs_tpu.hierarchy.io import save_hierarchy
+    from street_sparse_3dgs_tpu.pipeline import full_train as ft
+
+    from test_hierarchy import toy_params
+
+    paths = ft.ProjectPaths(tmp_path)
+    names = ["c0", "c1"]
+    for i, name in enumerate(names):
+        p, _ = toy_params(n=30, seed=i)
+        h = build_hierarchy(p._replace(xyz=p.xyz + 3.0 * i))
+        d = paths.trained_chunks_dir / name
+        d.mkdir(parents=True)
+        save_hierarchy(d / "hierarchy.hier_opt.npz", h)
+    paths.output_dir.mkdir(exist_ok=True)
+
+    real_merge = ft.merge_hierarchies
+    merges = []
+
+    def counting_merge(hs):
+        merges.append(threading.get_ident())
+        time.sleep(0.3)          # widen the race window
+        return real_merge(hs)
+
+    monkeypatch.setattr(ft, "merge_hierarchies", counting_merge)
+
+    barrier = threading.Barrier(2)
+    results = [None, None]
+
+    def run(i):
+        barrier.wait()
+        results[i] = ft.consolidate_stage(paths, names)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(merges) == 1, f"merge ran {len(merges)} times"
+    assert (paths.output_dir / "merged.hier.npz").exists()
+    # No partial/temp files left behind.
+    assert not list(paths.output_dir.glob(".merged.*"))
+    # Exactly one thread produced the merge; the loser returned None
+    # (it raced mid-merge) or the loaded artifact (it raced after).
+    assert any(r is not None for r in results)
+    # Idempotent re-run: loads, never re-merges.
+    again = ft.consolidate_stage(paths, names)
+    assert again is not None
+    assert len(merges) == 1
