@@ -100,16 +100,22 @@ def _pixel_coords(tiles_x: int, tile0_ref):
 def _alpha_block(attrs_ref, sl, px, py):
     """[P, KB] alpha (+aux terms) for one gaussian block vs the pixels.
     Attributes may be stored bf16 (``attr_dtype`` mode) — all math here is
-    f32 regardless; only the at-rest payload precision changes."""
+    f32 regardless; only the at-rest payload precision changes.
+
+    ``expp`` is exp(min(power, 0)): identical to exp(power) on every slot
+    that can contribute (ok requires power ≤ 0), overflow-safe on the rest,
+    and reused by the backward for ∂α/∂opacity (one transcendental per
+    element instead of two)."""
     ch = lambda c: attrs_ref[0, c, sl][None, :].astype(jnp.float32)
     dx = px - ch(MX)                                   # [P, KB]
     dy = py - ch(MY)
     a, b, c = ch(CA), ch(CB), ch(CC)
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    raw = ch(OP) * jnp.exp(power)
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    raw = ch(OP) * expp
     alpha = jnp.minimum(ALPHA_MAX, raw)
     ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & (ch(MK) > 0.0)
-    return jnp.where(ok, alpha, 0.0), ok, raw, power, dx, dy, a, b, c
+    return jnp.where(ok, alpha, 0.0), ok, raw, expp, dx, dy, a, b, c
 
 
 def _make_fwd_kernel(tiles_x: int):
@@ -128,9 +134,12 @@ def _make_fwd_kernel(tiles_x: int):
                 alpha, *_ = _alpha_block(attrs_ref, sl, px, py)
                 log_om = jnp.log1p(-alpha)             # [P, KB]
                 cum = _tri_dot(log_om, tri)
+                # ``cum`` is an inclusive prefix of non-positive terms, so
+                # tlog+cum is non-increasing along the lane axis and ``fail``
+                # is monotone within the block: once a slot fails, all later
+                # slots fail.  "no fail at any position ≤ k" is therefore
+                # just ~fail[k] — no cumulative-count matmul needed.
                 fail = (tlog + cum) < LOG_EPS
-                fail_cum = jnp.dot(fail.astype(jnp.float32), tri,
-                                   preferred_element_type=jnp.float32)
                 # Termination must PERSIST across gaussian blocks: ``alive``
                 # carries it (the CUDA rasterizer's per-thread break, the
                 # oracle's global cumsum(fail)==0).  Gating on
@@ -141,7 +150,7 @@ def _make_fwd_kernel(tiles_x: int):
                 # but fatal to the backward, which reconstructs
                 # transmittance assuming the included slots are exactly the
                 # first ``ncontrib``.
-                include = (fail_cum < 0.5) & (alive > 0.5)
+                include = (~fail) & (alive > 0.5)
                 t_excl = jnp.exp(tlog + cum - log_om)
                 w = jnp.where(include, alpha * t_excl, 0.0)
 
@@ -210,7 +219,7 @@ def _make_bwd_kernel(tiles_x: int):
 
             def live(_):
                 sl = pl.ds(base, KB)
-                alpha, ok, raw, power, dx, dy, a, b, c = _alpha_block(
+                alpha, ok, raw, expp, dx, dy, a, b, c = _alpha_block(
                     attrs_ref, sl, px, py)
                 kidx = (base + jax.lax.broadcasted_iota(
                     jnp.int32, (P, KB), 1)).astype(jnp.float32)
@@ -250,9 +259,8 @@ def _make_bwd_kernel(tiles_x: int):
                 d_rgb = jnp.concatenate(
                     [jnp.sum(gc * w, axis=0)[None, :]
                      for gc in (g_r, g_g, g_b)], axis=0)  # [3, KB]
-                # ∂α/∂opac = exp(power) on the unclamped branch (clamped to
-                # ≤ 0: excluded slots have g_alpha 0 anyway).
-                expp = jnp.exp(jnp.minimum(power, 0.0))
+                # ∂α/∂opac = exp(power) on the unclamped branch (power ≤ 0
+                # wherever g_alpha ≠ 0, so the fwd's expp is exact here).
                 d_op = col(expp * g_alpha)
                 d_id = col(w * g_ivd)
                 zero = jnp.zeros_like(d_mx)
@@ -363,56 +371,75 @@ def _blocked_cumsum_cm(rows: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return (within + offsets[:, :, None]).reshape(c, m + pad)[:, :m]
 
 
+def _gather_pack_plan(gather: jnp.ndarray, n: int):
+    """Precompute the backward segment-reduction permutation from the gather
+    table alone (int-only, once per binning).
+
+    The backward's job is a segment sum of the per-(tile, slot) cotangents
+    grouped by Gaussian row id — an ordering that depends only on ``gather``,
+    never on the cotangent values.  Round 2 paid a 12-operand unstable merge
+    sort of (keys + 10 payload channels) on EVERY backward (~2 ms at
+    512²/32k on v5e) to rediscover that same ordering each step; here two
+    2-operand int32 sorts run once in the forward and the backward applies
+    the result as one row-gather.
+
+    Key scheme (unchanged): pairs get key 2·id+1, dense queries key 2·r, so
+    query r sorts after all pairs with id < r and before any pair with
+    id == r; the segment sum for row r is then the difference of the
+    channel prefix sums at consecutive query positions.
+
+    Returns (perm [p+nq] — source index per sorted position, pos [nq] —
+    sorted position of query r, in r order)."""
+    p = gather.size
+    nq = n + 1
+    ids = gather.reshape(p).astype(jnp.int32)
+    keys = jnp.concatenate([ids * 2 + 1,
+                            jnp.arange(nq, dtype=jnp.int32) * 2])
+    src = jnp.arange(p + nq, dtype=jnp.int32)
+    _, perm = jax.lax.sort((keys, src), num_keys=1, is_stable=False)
+    # Query positions, ordered by r (queries are sources ≥ p; pair slots
+    # get a sentinel tag and land past the first nq outputs).
+    qtag = jnp.where(perm >= p, perm - p, jnp.int32(1) << 30)
+    pos = jax.lax.sort((qtag, src), num_keys=1, is_stable=False)[1][:nq]
+    return perm, pos
+
+
 @jax.custom_vjp
 def _gather_pack(attrs_n: jnp.ndarray, gather: jnp.ndarray) -> jnp.ndarray:
     """``swapaxes(attrs_n[gather], 1, 2)`` ([N, C] → [T, C, K]) with a
-    sort-based VJP.
+    precomputed-permutation segment-reduction VJP.
 
     XLA's native VJP is a 393k-row random scatter-add — row-latency bound
     (~6-7 ms at 512²/32k on v5e regardless of row width), and its follow-up
     ``searchsorted`` lowers to a while loop of serial HBM gathers (~4 ms).
-    The backward here is gather/scatter-free: it merges the pair grads and
-    the dense row ids into ONE multi-operand unstable sort (queries carry
-    zero channels and sort immediately before their row's pairs), takes a
+    The backward here is scatter-free AND sort-free: the forward computes
+    the value-independent merge permutation once (``_gather_pack_plan``),
+    and the backward applies it as a single [p+nq, C]-row gather, takes a
     blocked triangular-matmul prefix sum over the channels, and reads each
     row's segment sum as the difference of the prefix at consecutive query
-    positions.  Channel columns are sliced from the [T, C, K] cotangent
-    directly, so no [P, C] transpose is materialized.  Equal-key pair order
-    is unspecified, but a fixed compiled sort network makes the summation
-    order deterministic run-to-run."""
+    positions.  Equal-key pair order within a row's segment is whatever the
+    plan's sort produced, but the plan is fixed per binning, so summation
+    order is deterministic run-to-run."""
     return jnp.swapaxes(attrs_n[gather], 1, 2)
 
 
 def _gather_pack_fwd(attrs_n, gather):
-    return _gather_pack(attrs_n, gather), (gather, attrs_n.shape[0])
+    perm, pos = _gather_pack_plan(gather, attrs_n.shape[0])
+    return _gather_pack(attrs_n, gather), (perm, pos)
 
 
 def _gather_pack_bwd(res, d):
-    gather, n = res
+    perm, pos = res
     t, c, k = d.shape
     p = t * k
-    nq = n + 1
-    ids = gather.reshape(p)
-    # Pairs get key 2·id+1, dense queries key 2·r: query r sorts after all
-    # pairs with id < r and before any pair with id == r.
-    keys = jnp.concatenate(
-        [ids * 2 + 1, jnp.arange(nq, dtype=jnp.int32) * 2])
-    tag = jnp.concatenate(
-        [jnp.full((p,), jnp.int32(1) << 30),
-         jnp.arange(nq, dtype=jnp.int32)])
-    zq = jnp.zeros((nq,), d.dtype)
-    ops = (keys, tag) + tuple(
-        jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
-    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    # Payload channels sort at their own width (half traffic in bf16
-    # mode); the running sum is always f32 — a low-precision prefix over
-    # 400k+ rows would drown the per-row differences.
-    rows = jnp.stack(out[2:], axis=0).astype(jnp.float32)  # [C, P+nq]
-    s = _blocked_cumsum_cm(rows)                          # inclusive
-    # Query positions, ordered by r (queries have tag r < 2^30).
-    pos = jax.lax.sort(
-        (out[1], jnp.arange(p + nq, dtype=jnp.int32)),
-        num_keys=1, is_stable=False)[1][:nq]
+    nq = pos.shape[0]
+    # [T, C, K] cotangent → [p, C] rows; queries ride as zero rows.
+    flat = d.transpose(0, 2, 1).reshape(p, c)
+    rows = jnp.concatenate([flat, jnp.zeros((nq, c), d.dtype)], axis=0)
+    srt = rows[perm]                                      # [p+nq, C]
+    # The running sum is always f32 — a low-precision prefix over 400k+
+    # rows would drown the per-row differences.
+    s = _blocked_cumsum_cm(jnp.transpose(srt).astype(jnp.float32))
     b = jnp.transpose(s)[pos]                             # [nq, C]
     # s at query r = Σ of pairs with id < r (query rows are zero).
     return (b[1:] - b[:-1]).astype(d.dtype), None
