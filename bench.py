@@ -14,12 +14,15 @@ capacity (the exact ellipse culling keeps ~565 pairs/tile mean vs the
 K=384 cap, counted overflow) — the config is kept fixed for cross-round
 comparability.
 
-Measurement: ITERS grad steps run inside ONE jitted ``lax.scan`` (each step
-perturbs the inputs by a traced zero so XLA cannot hoist the loop-invariant
-computation), so the number reflects steady-state device throughput — the
-axon tunnel's per-dispatch round-trip latency (~2-4 ms, absent on a real
-deployment where dispatch overlaps compute) is amortized rather than
-billed once per step.
+Measurement: ITERS grad steps run inside ONE jitted ``lax.scan``.  Each
+step perturbs means3d by a DIFFERENT non-zero epsilon (~1e-6, passed in
+from the host as scan xs, so it is runtime data — XLA can neither
+constant-fold the add nor hoist the loop-invariant pipeline out of the
+scan; a traced *zero* does NOT work, the algebraic simplifier folds
+x+0→x and then hoists everything).  The number therefore reflects
+steady-state device throughput with the axon tunnel's per-dispatch
+round-trip latency (~2-4 ms, absent on a real deployment where dispatch
+overlaps compute) amortized rather than billed once per step.
 """
 
 from __future__ import annotations
@@ -79,25 +82,32 @@ def main() -> None:
             scene.sh_coeffs)
 
     @jax.jit
-    def scan_grads(args):
+    def scan_grads(args, eps):
         grad = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))
 
         def body(acc, e):
             g = grad(args[0] + e, *args[1:])
             return jax.tree.map(jnp.add, acc, g), None
 
-        eps = jnp.zeros((ITERS, 1, 1), jnp.float32)
         acc, _ = jax.lax.scan(body, jax.tree.map(jnp.zeros_like, args), eps)
         return acc
 
+    # Distinct non-zero per-step perturbations, built on the HOST and fed as
+    # runtime data: ~1e-6 in world units (visually nil) but defeats both
+    # constant folding and loop-invariant code motion.
+    import numpy as _np
+    eps = jnp.asarray(
+        _np.random.default_rng(0).uniform(1e-6, 2e-6, (ITERS, 1, 1)),
+        jnp.float32)
+
     for _ in range(WARMUP):
-        g = scan_grads(args)
+        g = scan_grads(args, eps)
         jax.block_until_ready(g)
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        g = scan_grads(args)
+        g = scan_grads(args, eps)
         jax.block_until_ready(g)
         best = min(best, time.perf_counter() - t0)
 

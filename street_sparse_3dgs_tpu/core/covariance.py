@@ -35,6 +35,37 @@ def build_covariance(scales: jnp.ndarray, quats: jnp.ndarray,
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def camera_cov3d(scales: jnp.ndarray, quats: jnp.ndarray, W: jnp.ndarray,
+                 scale_modifier: float | jnp.ndarray = 1.0) -> jnp.ndarray:
+    """Camera-space covariance W (R S Sᵀ Rᵀ) Wᵀ as [..., 3, 3], fully
+    elementwise.
+
+    Equivalent to ``W @ build_covariance(...) @ W.T`` but never forms a
+    batched tiny matmul: XLA lowers [N,3,3] dots (at the HIGHEST precision
+    positions need) onto padded MXU tiles — measured ~1.3 ms/step at 32k
+    Gaussians on v5e, vs ~0.05 ms as VPU fused multiply-adds.  Exact-f32 by
+    construction (no MXU pass at all).
+
+    ``W`` is the [3, 3] world→camera rotation, shared across the batch.
+    """
+    R = to_rotation_matrix(quats)
+    s = scales * scale_modifier
+    # Rows of A = W @ (R·diag(s)): A_ij = Σ_k W_ik R_kj s_j.
+    a = [[W[i, 0] * R[..., 0, j] * s[..., j]
+          + W[i, 1] * R[..., 1, j] * s[..., j]
+          + W[i, 2] * R[..., 2, j] * s[..., j]
+          for j in range(3)] for i in range(3)]
+    dot = lambda i, j: a[i][0] * a[j][0] + a[i][1] * a[j][1] + a[i][2] * a[j][2]
+    return jnp.stack(
+        [
+            jnp.stack([dot(0, 0), dot(0, 1), dot(0, 2)], axis=-1),
+            jnp.stack([dot(0, 1), dot(1, 1), dot(1, 2)], axis=-1),
+            jnp.stack([dot(0, 2), dot(1, 2), dot(2, 2)], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:
     """[..., 3, 3] symmetric -> [..., 6] upper-triangular uniques
     (order: xx, xy, xz, yy, yz, zz; reference ``utils/general_utils.py:strip_lowerdiag``)."""

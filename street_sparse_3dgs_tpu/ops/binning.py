@@ -181,6 +181,10 @@ def _tile_qmin(mean2d, conic, tile_x, tile_y):
     a = conic[:, 0:1]
     b = conic[:, 1:2]
     c = conic[:, 2:3]
+    # Hoist the reciprocals: a [N,1] divide instead of two [N,S] divides
+    # (VPU float division is multi-op; this runs over ~4M elements/step).
+    inv_a = 1.0 / a
+    inv_c = 1.0 / c
     dxl = (tile_x * TILE).astype(jnp.float32) - mean2d[:, 0:1]
     dxr = dxl + (TILE - 1)
     dyb = (tile_y * TILE).astype(jnp.float32) - mean2d[:, 1:2]
@@ -188,11 +192,11 @@ def _tile_qmin(mean2d, conic, tile_x, tile_y):
     inside = (dxl <= 0) & (dxr >= 0) & (dyb <= 0) & (dyt >= 0)
 
     def edge_x(x):
-        dy = jnp.clip(-b * x / c, dyb, dyt)
+        dy = jnp.clip(-b * x * inv_c, dyb, dyt)
         return a * x * x + 2.0 * b * x * dy + c * dy * dy
 
     def edge_y(y):
-        dx = jnp.clip(-b * y / a, dxl, dxr)
+        dx = jnp.clip(-b * y * inv_a, dxl, dxr)
         return a * dx * dx + 2.0 * b * dx * y + c * y * y
 
     q = jnp.minimum(jnp.minimum(edge_x(dxl), edge_x(dxr)),
@@ -227,8 +231,15 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     scan = max_dup * DUP_OVERSCAN
     slots = jnp.arange(scan, dtype=jnp.int32)           # [S]
     nx_safe = jnp.maximum(nx, 1)
-    sy = slots[None, :] // nx_safe[:, None]             # [N, S]
-    sx = slots[None, :] % nx_safe[:, None]
+    # slots // nx as float multiply-by-reciprocal: exact because
+    # (slots+0.5)/nx = q + (r+0.5)/nx lies strictly inside (q, q+1) with
+    # margin ≥ 0.5/nx ≫ f32 eps at these magnitudes (slots < 2^10,
+    # nx ≤ tiles_x).  A non-constant int32 divide lowers to a multi-op
+    # sequence on the VPU — this is two [N,S] elementwise arrays of FMAs.
+    inv_nx = 1.0 / nx_safe.astype(jnp.float32)
+    sy = jnp.floor((slots[None, :].astype(jnp.float32) + 0.5)
+                   * inv_nx[:, None]).astype(jnp.int32)  # [N, S]
+    sx = slots[None, :] - sy * nx_safe[:, None]
     tile_x = x0[:, None] + sx
     tile_y = y0[:, None] + sy
     tile_id = tile_y * tiles_x + tile_x
@@ -239,9 +250,14 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     # blend's 1/255 skip threshold — image-identical by construction, and
     # it cuts per-tile occupancy (overflow pressure / needed capacity).
     qmin = _tile_qmin(proj.mean2d[order], proj.conic[order], tile_x, tile_y)
-    alpha_max = proj.opacity[order][:, None] * jnp.exp(-0.5 * qmin)
-    # small margin: per-pixel Q in the blend rounds differently
-    keep = in_range & (alpha_max >= ALPHA_MIN * (1.0 - 1e-3))
+    # opac·exp(−qmin/2) ≥ αmin ⇔ qmin ≤ 2(log opac − log αmin): the log
+    # runs once per gaussian instead of exp over the [N, S] scan grid.
+    # Small margin (1−1e-3): per-pixel Q in the blend rounds differently.
+    opac = proj.opacity[order]
+    qcap = 2.0 * (jnp.where(opac > 0.0, jnp.log(jnp.maximum(opac, 1e-30)),
+                            -jnp.inf)
+                  - jnp.log(ALPHA_MIN * (1.0 - 1e-3)))
+    keep = in_range & (qmin <= qcap[:, None])
     # Per-row compaction: surviving tiles first, then slice to max_dup —
     # a wide-rect gaussian whose real (elliptical) footprint fits max_dup
     # no longer loses tiles to dead rect corners.

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core import sh as shlib
 from ..core.camera import CameraParams, ndc_to_pixel
-from ..core.covariance import build_covariance, conic_and_radius, project_cov3d
+from ..core.covariance import camera_cov3d, conic_and_radius, project_cov3d
 
 # Near-plane distance used for frustum culling (standard 3DGS rasterizer value).
 NEAR_CULL = 0.2
@@ -68,10 +68,10 @@ def project_gaussians(
     size = jnp.stack([jnp.float32(camera.width), jnp.float32(camera.height)])
     mean2d = ndc_to_pixel(ndc, size)
 
-    cov3d = build_covariance(scales, quats, scale_modifier)  # [N, 3, 3]
-    W = camera.viewmatrix[:3, :3]
-    cov_cam = jnp.matmul(
-        jnp.matmul(W, cov3d, precision=hi), W.T, precision=hi)
+    # Fully elementwise W Σ Wᵀ — batched [N,3,3] matmuls pad onto MXU tiles
+    # and cost ~1.3 ms/step at 32k on v5e (see core/covariance.camera_cov3d).
+    cov_cam = camera_cov3d(scales, quats, camera.viewmatrix[:3, :3],
+                           scale_modifier)
     cov2d = project_cov3d(cov_cam, p_view[:, :3],
                           camera.focal_x, camera.focal_y,
                           camera.tan_fovx, camera.tan_fovy)
