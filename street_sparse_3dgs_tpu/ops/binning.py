@@ -210,19 +210,70 @@ def _tile_qmin(mean2d, conic, tile_x, tile_y):
 # enumeration would lose — without growing the global pair sort.
 DUP_OVERSCAN = 4
 
+# Tail buckets for gaussians whose surviving-tile count exceeds max_dup:
+# (budget, extra_width) — up to ``budget`` such gaussians emit their next
+# ``extra_width`` compacted tiles through an additional (small) pair list.
+# The uniform [N, max_dup] emission alone loses whole VISIBLE tiles of
+# large splats (measured 0.074 mean image error at 512²/32k with
+# max_dup=32 — the tile-capacity cap, by contrast, is image-invisible
+# there); the CUDA reference has no per-gaussian cap at all
+# (prefix-sum duplicateWithKeys).  Budgets clamp to N; gaussians beyond a
+# bucket's budget (or tiles beyond the overscan window) stay counted in
+# ``dup_overflow``.  Sized so the bench scene (6.5k gaussians past
+# max_dup=32, 0.4k past 64, max kept 106 < overscan 128) drops nothing.
+DUP_TAILS: tuple[tuple[int, int], ...] = ((8192, 32), (512, 96))
+
+
+def _tail_bucket(kept, tile_id, inv_rank, n, start, budget, width, t_total):
+    """Pair keys/vals for compacted tile slots [start, start+width) of up to
+    ``budget`` gaussians with kept > start.  Returns (keys, ranks, vals, lost)
+    where ``lost`` counts pairs of qualifying gaussians beyond the budget.
+    Rows are ORIGINAL (unsorted); members are prioritized near-camera-first
+    by their depth rank."""
+    flag = kept > start
+    excess = jnp.clip(kept - start, 0, width)
+    # Members first, nearest first; sentinel n sorts all non-members last.
+    member = jnp.where(flag, inv_rank, jnp.int32(n))
+    rows = jnp.arange(n, dtype=jnp.int32)
+    member, sel_row, sel_excess = jax.lax.sort(
+        (member, rows, excess.astype(jnp.int32)), num_keys=1,
+        is_stable=False)
+    valid = member[:budget] < n
+    lost = jnp.sum(excess) - jnp.sum(jnp.where(valid, sel_excess[:budget], 0))
+    sel_safe = jnp.where(valid, sel_row[:budget], 0)
+    # Static column slice FIRST, then a plain row gather: the combined
+    # advanced-index form ``tile_id[sel_safe, start:start+width]`` lowers to
+    # a serial while-loop of dynamic-slices on TPU (~7 ms at M=8192).
+    tiles = jnp.take(tile_id[:, start:start + width], sel_safe,
+                     axis=0)                              # [M, width]
+    live = (jnp.arange(width, dtype=jnp.int32)[None, :]
+            < jnp.where(valid, sel_excess[:budget], 0)[:, None])
+    keys = jnp.where(live, tiles, t_total).astype(jnp.int32).ravel()
+    ranks = jnp.broadcast_to(
+        jnp.where(valid, member[:budget], 0)[:, None], tiles.shape).ravel()
+    vals = jnp.broadcast_to(sel_safe[:, None], tiles.shape).ravel()
+    return keys, ranks, vals, lost
+
 
 def bin_gaussians(proj: Projected, height: int, width: int,
-                  max_dup: int, tile_capacity: int) -> TileBins:
+                  max_dup: int, tile_capacity: int,
+                  dup_tails: tuple[tuple[int, int], ...] = DUP_TAILS
+                  ) -> TileBins:
     n = proj.depth.shape[0]
     tiles_x, tiles_y = num_tiles(height, width)
     t_total = tiles_x * tiles_y
 
-    order = jnp.argsort(proj.depth)                    # stable; inf (culled) last
-    mean2d = proj.mean2d[order]
-    radius = proj.radius[order]
-    valid = proj.valid[order]
+    # Depth order enters only through the RANK packed into the sort key —
+    # everything else works on the original (unsorted) rows, saving five
+    # [N]-row gathers.  inv_rank[i] = depth position of row i (culled rows,
+    # depth=inf, take the largest ranks).
+    order = jnp.argsort(proj.depth)                    # stable; inf last
+    inv_rank = jax.lax.sort(
+        (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+        is_stable=False)[1]
 
-    x0, y0, x1, y1 = tile_rect(mean2d, radius, tiles_x, tiles_y)
+    x0, y0, x1, y1 = tile_rect(proj.mean2d, proj.radius, tiles_x, tiles_y)
+    valid = proj.valid
 
     nx = jnp.where(valid, x1 - x0, 0)
     ny = jnp.where(valid, y1 - y0, 0)
@@ -249,11 +300,11 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     # drop pairs whose best-possible alpha over the tile stays below the
     # blend's 1/255 skip threshold — image-identical by construction, and
     # it cuts per-tile occupancy (overflow pressure / needed capacity).
-    qmin = _tile_qmin(proj.mean2d[order], proj.conic[order], tile_x, tile_y)
+    qmin = _tile_qmin(proj.mean2d, proj.conic, tile_x, tile_y)
     # opac·exp(−qmin/2) ≥ αmin ⇔ qmin ≤ 2(log opac − log αmin): the log
     # runs once per gaussian instead of exp over the [N, S] scan grid.
     # Small margin (1−1e-3): per-pixel Q in the blend rounds differently.
-    opac = proj.opacity[order]
+    opac = proj.opacity
     qcap = 2.0 * (jnp.where(opac > 0.0, jnp.log(jnp.maximum(opac, 1e-30)),
                             -jnp.inf)
                   - jnp.log(ALPHA_MIN * (1.0 - 1e-3)))
@@ -265,18 +316,39 @@ def bin_gaussians(proj: Projected, height: int, width: int,
         ((~keep).astype(jnp.int32), tile_id), num_keys=1, is_stable=True,
         dimension=1)
     kept = jnp.sum(keep, axis=1)
-    # Lost work: kept survivors beyond max_dup, plus rect positions never
-    # evaluated (coverage beyond the overscan window).
-    dup_overflow = (jnp.sum(jnp.maximum(kept - max_dup, 0))
-                    + jnp.sum(jnp.maximum(coverage - scan, 0)))
-    tile_id = tile_id[:, :max_dup]
     live = jnp.arange(max_dup, dtype=jnp.int32)[None, :] < \
         jnp.minimum(kept, max_dup)[:, None]
-    keys = jnp.where(live, tile_id,
+    keys = jnp.where(live, tile_id[:, :max_dup],
                      t_total).astype(jnp.int32).ravel()   # [N*D]
-    ranks = jnp.broadcast_to(
+    ranks = jnp.broadcast_to(inv_rank[:, None], (n, max_dup)).ravel()
+    vals = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_dup)).ravel()
-    vals = jnp.broadcast_to(order[:, None], (n, max_dup)).ravel()  # orig rows
+
+    # Tail buckets: big gaussians emit their compacted tiles beyond max_dup
+    # through small extra pair lists (see DUP_TAILS) instead of dropping them.
+    key_parts, rank_parts, val_parts = [keys], [ranks], [vals]
+    start = max_dup
+    tail_lost = jnp.int32(0)
+    for budget, width in dup_tails:
+        width = min(width, scan - start)
+        budget = min(budget, n)
+        if width <= 0 or budget <= 0:
+            continue
+        tk, tr, tv, lost = _tail_bucket(kept, tile_id, inv_rank, n, start,
+                                        budget, width, t_total)
+        key_parts.append(tk)
+        rank_parts.append(tr)
+        val_parts.append(tv)
+        tail_lost = tail_lost + lost
+        start += width
+    keys = jnp.concatenate(key_parts)
+    ranks = jnp.concatenate(rank_parts)
+    vals = jnp.concatenate(val_parts)
+    # Lost work: survivors past the covered slot range, bucket-budget
+    # overruns, and rect positions never evaluated (coverage beyond the
+    # overscan window).
+    dup_overflow = (jnp.sum(jnp.maximum(kept - start, 0)) + tail_lost
+                    + jnp.sum(jnp.maximum(coverage - scan, 0)))
 
     rank_bits = max(1, (n - 1).bit_length())
     if rank_bits + (t_total + 1).bit_length() <= 31:

@@ -432,11 +432,12 @@ def _gather_pack_bwd(res, d):
     perm, pos = res
     t, c, k = d.shape
     p = t * k
-    nq = pos.shape[0]
-    # [T, C, K] cotangent → [p, C] rows; queries ride as zero rows.
+    # [T, C, K] cotangent → [p, C] rows; query slots (perm ≥ p) materialize
+    # as fill-zeros inside the gather itself — concatenating an explicit
+    # zero block first costs a 17 MB copy at the bench scale.
     flat = d.transpose(0, 2, 1).reshape(p, c)
-    rows = jnp.concatenate([flat, jnp.zeros((nq, c), d.dtype)], axis=0)
-    srt = rows[perm]                                      # [p+nq, C]
+    srt = jnp.take(flat, perm, axis=0, mode="fill",
+                   fill_value=0)                          # [p+nq, C]
     # The running sum is always f32 — a low-precision prefix over 400k+
     # rows would drown the per-row differences.
     s = _blocked_cumsum_cm(jnp.transpose(srt).astype(jnp.float32))

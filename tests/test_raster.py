@@ -206,3 +206,64 @@ class TestEllipseCulling:
         # and the dead corners are NOT banked
         assert (0, 7) not in {(t // 8, t % 8) for t in covered}
         assert (7, 0) not in {(t // 8, t % 8) for t in covered}
+
+    def test_tail_buckets_keep_big_gaussian_tiles(self):
+        """A fat isotropic gaussian whose ellipse SURVIVES in more tiles
+        than max_dup must still bank every tile: the tail buckets emit the
+        compacted tiles beyond max_dup through the extra pair lists instead
+        of dropping whole visible tiles (the round-2 scheme lost them —
+        0.074 mean image error at the bench scene)."""
+        from street_sparse_3dgs_tpu.ops.binning import bin_gaussians
+        from street_sparse_3dgs_tpu.ops.preprocess import Projected
+
+        n = 8
+        h = w = 128                                   # 8x8 tile grid
+        mean2d = np.full((n, 2), -100.0, np.float32)
+        mean2d[0] = (64.0, 64.0)
+        sigma = 48.0                                  # fat: covers all tiles
+        conic = np.zeros((n, 3), np.float32)
+        conic[0] = (1.0 / sigma**2, 0.0, 1.0 / sigma**2)
+        radius = np.zeros(n, np.float32)
+        radius[0] = 3.0 * sigma
+        valid = np.zeros(n, bool)
+        valid[0] = True
+        proj = Projected(
+            mean2d=jnp.asarray(mean2d), depth=jnp.asarray(
+                np.where(valid, 1.0, np.inf).astype(np.float32)),
+            inv_depth=jnp.asarray(valid.astype(np.float32)),
+            conic=jnp.asarray(conic), radius=jnp.asarray(radius),
+            color=jnp.zeros((n, 3)), opacity=jnp.asarray(
+                valid.astype(np.float32) * 0.9),
+            valid=jnp.asarray(valid))
+
+        # max_dup=16 << 64 surviving tiles; the tail bucket must recover
+        # the rest (the 4x overscan window allows up to 64 positions).
+        bins = bin_gaussians(proj, h, w, max_dup=16, tile_capacity=64,
+                             dup_tails=((8, 48),))
+        m = np.asarray(bins.mask)
+        g = np.asarray(bins.gather)
+        covered = {t for t in range(g.shape[0])
+                   if (m[t] & (g[t] == 0)).any()}
+        assert len(covered) == 64, len(covered)
+        assert int(bins.dup_overflow) == 0
+        # Without tails the same call must COUNT the loss instead.
+        bins0 = bin_gaussians(proj, h, w, max_dup=16, tile_capacity=64,
+                              dup_tails=())
+        assert int(bins0.dup_overflow) == 64 - 16
+
+    def test_big_gaussian_image_matches_oracle_at_small_max_dup(self):
+        """End-to-end: with max_dup far below real tile coverage, the tail
+        buckets must keep the tiled image equal to the oracle's."""
+        scene = make_toy_scene(seed=3, n=64, n_cameras=1, width=96,
+                               height=96)
+        fat = scene._replace(scales=scene.scales * 4.0)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        a = rasterize(fat.means3d, fat.scales, fat.quats, fat.opacities,
+                      fat.sh_coeffs, fat.cameras[0], 3, bg, ORACLE)
+        cfg = RasterConfig(method="tiled", max_dup=16, tile_capacity=128)
+        b = rasterize(fat.means3d, fat.scales, fat.quats, fat.opacities,
+                      fat.sh_coeffs, fat.cameras[0], 3, bg, cfg)
+        assert int(b["dup_overflow"]) == 0
+        np.testing.assert_allclose(np.asarray(a["render"]),
+                                   np.asarray(b["render"]),
+                                   atol=1e-5, rtol=1e-4)
