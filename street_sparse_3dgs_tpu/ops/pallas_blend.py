@@ -82,13 +82,17 @@ def _tri_dot(x, tri):
             + jnp.dot(lo, tb, preferred_element_type=jnp.float32))
 
 
-def _pixel_coords(tiles_x: int, tile0_ref):
+def _pixel_coords(tiles_x: int, t_mod: int, tile0_ref):
     """Tile-absolute pixel coordinates as [P,1] columns, origin from the
     grid position (tiles_x closed over statically).  ``tile0_ref`` holds the
     shard's first global tile id — nonzero under tile-sharded rendering
     (``parallel/tiles.py``), where each device blends a contiguous slab of
-    the framebuffer's tiles."""
+    the framebuffer's tiles.  ``t_mod > 0`` wraps the tile id (multi-view
+    batches concatenate each view's padded tile range along the grid axis —
+    ``parallel/tp.py``)."""
     t = pl.program_id(0) + tile0_ref[0, 0]
+    if t_mod:
+        t = t % t_mod
     ox = ((t % tiles_x) * TILE).astype(jnp.float32)
     oy = ((t // tiles_x) * TILE).astype(jnp.float32)
     idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
@@ -118,11 +122,11 @@ def _alpha_block(attrs_ref, sl, px, py):
     return jnp.where(ok, alpha, 0.0), ok, raw, expp, dx, dy, a, b, c
 
 
-def _make_fwd_kernel(tiles_x: int):
+def _make_fwd_kernel(tiles_x: int, t_mod: int):
     def kernel(tile0_ref, attrs_ref, bg_ref, out_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
-        px, py = _pixel_coords(tiles_x, tile0_ref)
+        px, py = _pixel_coords(tiles_x, t_mod, tile0_ref)
         tri = _tri(False)
 
         def body(kb, carry):
@@ -195,11 +199,11 @@ def _make_fwd_kernel(tiles_x: int):
     return kernel
 
 
-def _make_bwd_kernel(tiles_x: int):
+def _make_bwd_kernel(tiles_x: int, t_mod: int):
     def kernel(tile0_ref, attrs_ref, bg_ref, saved_ref, g_ref, d_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
-        px, py = _pixel_coords(tiles_x, tile0_ref)
+        px, py = _pixel_coords(tiles_x, t_mod, tile0_ref)
         tri_suf = _tri(True)
 
         row = lambda ref, i: ref[0, i, :][:, None]     # [P, 1]
@@ -290,29 +294,34 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _specs(k_cap):
+def _specs(k_cap, per_tile_bg: bool):
     tile0_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
     attrs_spec = pl.BlockSpec((1, N_CH, k_cap), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
-    bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0),
-                           memory_space=pltpu.SMEM)
+    # bg is either a single [1, 3] color (kernel sees the same block at
+    # every grid step) or per-tile [T, 3] rows (multi-view batches where
+    # each view draws its own random background).
+    bg_spec = pl.BlockSpec(
+        (1, 3), (lambda i: (i, 0)) if per_tile_bg else (lambda i: (0, 0)),
+        memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, N_OUT, P), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return tile0_spec, attrs_spec, bg_spec, out_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _blend_packed(interpret, tiles_x, tile0, attrs, bg):
-    out, _ = _blend_packed_fwd(interpret, tiles_x, tile0, attrs, bg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _blend_packed(interpret, tiles_x, t_mod, tile0, attrs, bg):
+    out, _ = _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, attrs, bg)
     return out
 
 
-def _blend_packed_fwd(interpret, tiles_x, tile0, attrs, bg):
+def _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, attrs, bg):
     t, _, k_cap = attrs.shape
-    tile0_spec, attrs_spec, bg_spec, out_spec = _specs(k_cap)
+    tile0_spec, attrs_spec, bg_spec, out_spec = _specs(
+        k_cap, bg.shape[0] != 1)
     out = pl.pallas_call(
-        _make_fwd_kernel(tiles_x), grid=(t,),
+        _make_fwd_kernel(tiles_x, t_mod), grid=(t,),
         in_specs=[tile0_spec, attrs_spec, bg_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((t, N_OUT, P), jnp.float32),
@@ -321,12 +330,13 @@ def _blend_packed_fwd(interpret, tiles_x, tile0, attrs, bg):
     return out, (tile0, attrs, bg, out)
 
 
-def _blend_packed_bwd(interpret, tiles_x, res, g_out):
+def _blend_packed_bwd(interpret, tiles_x, t_mod, res, g_out):
     tile0, attrs, bg, saved = res
     t, _, k_cap = attrs.shape
-    tile0_spec, attrs_spec, bg_spec, out_spec = _specs(k_cap)
+    tile0_spec, attrs_spec, bg_spec, out_spec = _specs(
+        k_cap, bg.shape[0] != 1)
     d_attrs = pl.pallas_call(
-        _make_bwd_kernel(tiles_x), grid=(t,),
+        _make_bwd_kernel(tiles_x, t_mod), grid=(t,),
         in_specs=[tile0_spec, attrs_spec, bg_spec, out_spec, out_spec],
         out_specs=attrs_spec,
         # Grads at the attrs' own precision: in bf16 mode they ride the
@@ -336,8 +346,10 @@ def _blend_packed_bwd(interpret, tiles_x, res, g_out):
     )(tile0, attrs, bg, saved, g_out)
     # Background gradient (outside the kernel; tiny reduction).
     t_final = jnp.exp(saved[:, OT, :])                 # [T, P]
-    g_bg = jnp.stack([jnp.sum(t_final * g_out[:, i, :])
-                      for i in (OR, OG, OB)])[None, :]
+    per_tile = jnp.stack([jnp.sum(t_final * g_out[:, i, :], axis=1)
+                          for i in (OR, OG, OB)], axis=1)   # [T, 3]
+    g_bg = per_tile if bg.shape[0] != 1 else jnp.sum(
+        per_tile, axis=0, keepdims=True)
     return None, d_attrs, g_bg
 
 
@@ -502,7 +514,7 @@ def blend_tiles_pallas(
 
     interp = _interpret_default() if interpret is None else interpret
     tile0 = jnp.zeros((1, 1), jnp.int32)
-    out = _blend_packed(interp, tiles_x, tile0, attrs,
+    out = _blend_packed(interp, tiles_x, 0, tile0, attrs,
                         bg[None, :])                    # [T, 8, P]
 
     def to_image(flat, channels):

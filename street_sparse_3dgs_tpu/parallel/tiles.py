@@ -77,7 +77,8 @@ def rasterize_tile_sharded(
     def local_blend(attrs_shard, bg_rep):
         tile0 = (jax.lax.axis_index("tile") * t_local).astype(
             jnp.int32).reshape(1, 1)
-        return _blend_packed(interp, tiles_x, tile0, attrs_shard, bg_rep)
+        return _blend_packed(interp, tiles_x, 0, tile0, attrs_shard,
+                             bg_rep)
 
     out = shard_map(
         local_blend, mesh=mesh,

@@ -94,6 +94,144 @@ def test_dp_step_matches_serial_visibility_union(scene):
                            np.asarray(state.params.xyz))
 
 
+def _mixed_batch(scene, b, h=64, w=64):
+    cams = jax.tree.map(lambda *xs: jnp.stack(xs), *scene.cameras[:b])
+    rng = np.random.default_rng(3)
+    gt = jnp.asarray(rng.uniform(0, 1, (b, 3, h, w)), jnp.float32)
+    mono = jnp.asarray(rng.uniform(0.1, 1.0, (b, 1, h, w)), jnp.float32)
+    reliable = jnp.zeros((b,), bool).at[1].set(True)
+    return CameraBatch(
+        camera=cams, gt_image=gt,
+        alpha_mask=jnp.ones((b, 1, h, w)),
+        mono_invdepth=mono,
+        depth_mask=jnp.ones((b, 1, h, w)),
+        depth_reliable=reliable,
+        image_index=jnp.arange(b, dtype=jnp.int32))
+
+
+def test_batch_tile_sharded_render_and_grads(scene):
+    """The batched (data × tile)-sharded rasterizer must match per-view
+    serial rasterization in images AND gradients (the actual parity
+    guarantee behind the tile-sharded TRAINING step)."""
+    from street_sparse_3dgs_tpu.parallel.tp import rasterize_batch_tile_sharded
+
+    mesh = make_mesh(n_data=2, n_tile=4)
+    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=16)
+    b = 2
+    cams = jax.tree.map(lambda *xs: jnp.stack(xs), *scene.cameras[:b])
+    bgs = jnp.asarray([[0.1, 0.2, 0.3], [0.9, 0.5, 0.0]], jnp.float32)
+
+    def loss_serial(means, scales):
+        total = 0.0
+        for i in range(b):
+            cam = jax.tree.map(lambda x: x[i], cams)
+            out = rasterize(means, scales, scene.quats, scene.opacities,
+                            scene.sh_coeffs, cam, 3, bgs[i], cfg)
+            total = total + jnp.mean(out["render"] ** 2) \
+                + 0.3 * jnp.mean(out["depth"] ** 2)
+        return total / b
+
+    def loss_sharded(means, scales):
+        out = rasterize_batch_tile_sharded(
+            means, scales, scene.quats, scene.opacities, scene.sh_coeffs,
+            cams, 3, bgs, mesh, config=cfg)
+        return jnp.mean(out["render"] ** 2) \
+            + 0.3 * jnp.mean(out["depth"] ** 2)
+
+    # Images.
+    serial_imgs = [rasterize(scene.means3d, scene.scales, scene.quats,
+                             scene.opacities, scene.sh_coeffs,
+                             jax.tree.map(lambda x: x[i], cams), 3, bgs[i],
+                             cfg)["render"] for i in range(b)]
+    with mesh:
+        out = rasterize_batch_tile_sharded(
+            scene.means3d, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs, cams, 3, bgs, mesh, config=cfg)
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.stack(serial_imgs), atol=2e-5)
+
+    # Gradients wrt two parameter leaves.
+    ga = jax.grad(loss_serial, argnums=(0, 1))(scene.means3d, scene.scales)
+    with mesh:
+        gb = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
+            scene.means3d, scene.scales)
+    for a, b_ in zip(ga, gb):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=3e-4 * scale, rtol=2e-3)
+
+
+def test_tile_sharded_train_step_matches_dp(scene):
+    """VERDICT round-2 #4: training THROUGH the tile-sharded blend.  The
+    (data × tile)-sharded step computes the same batch-mean loss as the
+    data-parallel step on the same mixed batch (photometric views plus one
+    depth-only view), so: identical loss, identical densify statistics, and
+    post-Adam parameters equal up to ONE Adam quantum per field — reordered
+    f32 summation can flip the sign of noise-magnitude gradients, and Adam's
+    first step is ±lr regardless of magnitude, so elements may differ by
+    exactly 2·lr.  True gradient parity is locked by
+    ``test_batch_tile_sharded_render_and_grads`` above."""
+    from street_sparse_3dgs_tpu.parallel.tp import make_tile_sharded_train_step
+
+    key = jax.random.PRNGKey(0)
+    params, active, meta = create_from_pcd(
+        key, np.asarray(scene.means3d), np.full((256, 3), 0.5), capacity=256)
+    opt = OptimizationConfig()
+    pipe = PipelineConfig(tile_capacity=256, max_dup=16,
+                          raster_method="pallas")
+    b = 4
+    batch = _mixed_batch(scene, b)
+    depth_flags = jnp.zeros((b,), bool).at[1].set(True)
+
+    dp_mesh = make_mesh(n_data=4, n_tile=1, devices=jax.devices()[:4])
+    dp_step, shard_batch, shard_state = make_dp_train_step(
+        meta, opt, pipe, 1.0, dp_mesh)
+    state0 = init_state(params, active, n_images=b)
+    with dp_mesh:
+        dp_state, dp_aux = dp_step(shard_state(state0), shard_batch(batch),
+                                   3, depth_flags)
+        dp_state = jax.tree.map(np.asarray, dp_state)
+
+    tp_mesh = make_mesh(n_data=2, n_tile=4)
+    tp_step, replicate = make_tile_sharded_train_step(
+        meta, opt, pipe, 1.0, tp_mesh)
+    with tp_mesh:
+        tp_state, tp_aux = tp_step(replicate(state0), replicate(batch),
+                                   3, depth_flags)
+        tp_state = jax.tree.map(np.asarray, tp_state)
+
+    assert np.isfinite(float(tp_aux["loss"]))
+    np.testing.assert_allclose(float(tp_aux["loss"]), float(dp_aux["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    # One Adam quantum per field: lr for xyz/features/opacity/scaling/rot.
+    quantum = {
+        "xyz": opt.position_lr_init, "features_dc": opt.feature_lr,
+        "features_rest": opt.feature_lr / 20.0, "opacity_raw": opt.opacity_lr,
+        "log_scales": opt.scaling_lr, "quats": opt.rotation_lr,
+    }
+    for name, a, b_ in zip(dp_state.params._fields, dp_state.params,
+                           tp_state.params):
+        bound = 2.05 * quantum[name] + 1e-5
+        max_dev = float(np.abs(np.asarray(b_) - np.asarray(a)).max())
+        assert max_dev <= bound, (
+            f"param {name}: tp/dp deviate by {max_dev} > one Adam "
+            f"quantum bound {bound}")
+    np.testing.assert_allclose(tp_state.exposure, dp_state.exposure,
+                               atol=1e-6)
+    np.testing.assert_allclose(tp_state.grad_accum, dp_state.grad_accum,
+                               atol=1e-5)
+    np.testing.assert_allclose(tp_state.denom, dp_state.denom, atol=0)
+    np.testing.assert_allclose(tp_state.max_radii2d, dp_state.max_radii2d,
+                               atol=1e-5)
+    # The depth-only view must have contributed: its flag ON changes params
+    # vs the same batch with the flag off.
+    with tp_mesh:
+        tp_state2, _ = tp_step(replicate(state0), replicate(batch),
+                               3, jnp.zeros((b,), bool))
+    assert not np.allclose(np.asarray(tp_state2.params.xyz),
+                           tp_state.params.xyz)
+
+
 def test_ring_staged_matches_single(scene):
     """Gaussian+tile sharded ring render == single-device render (images)."""
     from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged
