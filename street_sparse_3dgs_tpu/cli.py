@@ -170,7 +170,8 @@ def train_post(argv):
 
     from .data.scene import CameraStream, load_scene_info
     from .hierarchy.io import load_hierarchy, save_hierarchy
-    from .train.post import init_post_state, make_post_step, random_limit
+    from .train.post import (CompactPostDriver, default_post_capacity,
+                             random_limit)
     from .train.step import CameraBatch
 
     model, pipe, opt, args = _parse(argv)
@@ -178,8 +179,12 @@ def train_post(argv):
     info = load_scene_info(model.source_path, model)
     photo = [c for c in info.train_cameras if not c.is_depth_only]
     stream = CameraStream(photo, model.resolution, args.seed)
-    step = make_post_step(h, opt, pipe, skybox_locked=True)
-    state = init_post_state(h)
+    driver = CompactPostDriver(
+        h, opt, pipe,
+        capacity=default_post_capacity(
+            h, [(-np.asarray(c.R) @ np.asarray(c.T)).astype(np.float32)
+                for c in photo[:8]]),
+        skybox_locked=True)
     rng = random.Random(args.seed)
     it = 0
     eye = np.eye(3, 4, dtype=np.float32)
@@ -191,12 +196,14 @@ def train_post(argv):
             batch_iter = iter(stream)
             batch = next(batch_iter)
         it += 1
-        state, aux = step(state, CameraBatch(*batch),
-                          jnp.float32(random_limit(rng)), jnp.asarray(eye))
+        driver.step(CameraBatch(*batch), jnp.float32(random_limit(rng)),
+                    jnp.asarray(eye))
+    state = driver.finish()
     out = Path(model.hierarchy).with_suffix("").with_suffix("")
     save_hierarchy(str(out) + ".hier_opt.npz",
                    h._replace(params=state.params))
-    print(f"post done; last loss {float(aux['loss']):.5f}")
+    print(f"post done; capacity {driver.capacity} "
+          f"({driver.redos} overflow redos)")
 
 
 def render_hierarchy(argv):

@@ -78,6 +78,94 @@ def render_cut(
                      mean2d_residual=mean2d_residual)
 
 
+def compact_cut_indices(cut: Cut, capacity: int):
+    """Jit-traceable compaction of a cut's selected set into a static
+    ``capacity``-slot index buffer (ascending node order).
+
+    Returns ``(gi, gp, w, valid, overflow)``: gathered node index, parent
+    index and lerp weight per slot, the slot-validity mask, and the count of
+    selected nodes that did NOT fit (never silently dropped — the post-opt
+    driver grows the capacity and redoes the step, mirroring the static-
+    capacity + host-growth policy of densification)."""
+    (idx,) = jnp.nonzero(cut.selected, size=capacity, fill_value=0)
+    count = jnp.sum(cut.selected.astype(jnp.int32))
+    valid = jnp.arange(capacity) < jnp.minimum(count, capacity)
+    gi = jnp.where(valid, idx, 0).astype(jnp.int32)
+    gp = cut.parent[gi]
+    w = jnp.where(valid, cut.weights[gi], 1.0)
+    overflow = jnp.maximum(count - capacity, 0)
+    return gi, gp, w, valid, overflow
+
+
+def blend_cut_compact(params: GaussianParams, cut: Cut, n_nodes: int,
+                      skybox_count: int, capacity: int):
+    """O(cut) differentiable analogue of ``blend_cut``: gather ONLY the
+    selected rows (+ the skybox tail) into ``capacity + skybox`` slots and
+    lerp there.  Gradients flow back to the full node arrays through the
+    gathers' transpose (scatter-add) — the reference's dense ``render_post``
+    buffers over ``render_indices`` (``gaussian_renderer/__init__.py:
+    203-235``), without the per-step dynamic shapes.
+
+    Returns (means, scales, quats, opacities, shs, active, overflow)."""
+    total = params.xyz.shape[0]
+    gi, gp, w, valid, overflow = compact_cut_indices(cut, capacity)
+    sky = jnp.arange(n_nodes, total, dtype=jnp.int32)
+    gi = jnp.concatenate([gi, sky])
+    gp = jnp.concatenate([gp, sky])
+    w = jnp.concatenate([w, jnp.ones((total - n_nodes,), w.dtype)])[:, None]
+    active = jnp.concatenate([valid, jnp.ones((total - n_nodes,), bool)])
+
+    # Gather RAW rows first, activate on the compact buffer — keeps every
+    # elementwise activation O(cut), not O(nodes).
+    def sh_rows(rows):
+        return jnp.concatenate([params.features_dc[rows],
+                                params.features_rest[rows]], axis=1)
+
+    # Padding slots gather row 0; zero them so their cotangents cannot
+    # leak into real rows through the scatter-add VJP.
+    def z(x):
+        return jnp.where(active.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
+
+    xyz_b = z(w * params.xyz[gi] + (1.0 - w) * params.xyz[gp])
+    scales_i = jnp.exp(params.log_scales[gi])
+    scales_p = jnp.exp(params.log_scales[gp])
+    scales_b = z(w * scales_i + (1.0 - w) * scales_p)
+    opac_i = jnp.abs(params.opacity_raw[gi, 0])
+    opac_p = jnp.abs(params.opacity_raw[gp, 0])
+    opac_b = z(w[:, 0] * opac_i + (1.0 - w[:, 0]) * opac_p)
+    sh_b = z(w[:, :, None] * sh_rows(gi) + (1.0 - w[:, :, None]) * sh_rows(gp))
+    quats_i = params.quats[gi]
+    parents_q = align_sign(params.quats[gp], quats_i)
+    quats_b = z(w * quats_i + (1.0 - w) * parents_q)
+    # Zeroed quats are degenerate for rotation math downstream; park
+    # padding slots at identity instead (still constant → zero cotangent).
+    quats_b = jnp.where(active[:, None], quats_b,
+                        jnp.array([1.0, 0.0, 0.0, 0.0], quats_i.dtype))
+    return xyz_b, scales_b, quats_b, opac_b, sh_b, active, overflow
+
+
+def render_cut_compacted(
+    h_params: GaussianParams,
+    cut: Cut,
+    n_nodes: int,
+    skybox_count: int,
+    capacity: int,
+    camera: CameraParams,
+    sh_degree: int,
+    bg: jnp.ndarray,
+    config: RasterConfig = RasterConfig(),
+):
+    """Differentiable render over the compacted cut: rasterization cost is
+    O(capacity + skybox), not O(nodes).  Adds ``cut_overflow`` to the raster
+    outputs (selected nodes beyond capacity — caller must grow + retry)."""
+    xyz, scales, quats, opac, sh, active, overflow = blend_cut_compact(
+        h_params, cut, n_nodes, skybox_count, capacity)
+    out = rasterize(xyz, scales, quats, opac, sh, camera, sh_degree, bg,
+                    config, active_mask=active)
+    out["cut_overflow"] = overflow
+    return out
+
+
 def compact_cut_params(h_params: GaussianParams, cut: Cut, n_nodes: int,
                        skybox_count: int, pad_to_pow2: bool = True):
     """Host-side compaction for *evaluation* renders: gather only the

@@ -42,7 +42,8 @@ from ..hierarchy.merge import merge_hierarchies
 from ..models.gaussians import create_from_pcd
 from ..models.serialize import load_scene_ply, save_scene
 from ..train.loop import train_loop
-from ..train.post import make_post_step, random_limit, init_post_state
+from ..train.post import (CompactPostDriver, default_post_capacity,
+                          random_limit)
 from ..train.step import CameraBatch, init_state
 
 
@@ -208,8 +209,6 @@ def post_opt_stage(paths: ProjectPaths, chunk_name: str,
     exp_path = out / "exposure.json"
     exposures = json.loads(exp_path.read_text()) if exp_path.exists() else {}
 
-    step = make_post_step(h, opt, pipe, skybox_locked=True)
-    state = init_post_state(h)
     import random
     rng = random.Random(seed)
     photo = [c for c in info.train_cameras if not c.is_depth_only]
@@ -224,6 +223,15 @@ def post_opt_stage(paths: ProjectPaths, chunk_name: str,
     # per image at scale (1500-image chunks).
     exp_rows = [jnp.asarray(np.asarray(exposures.get(c.image_name, eye),
                                        np.float32)) for c in photo]
+    # O(cut) compacted step: capacity sampled from the finest cuts, grown
+    # (with step redo) on overflow — at multi-million-node chunk
+    # hierarchies the per-step cost follows the cut, not the node count.
+    driver = CompactPostDriver(
+        h, opt, pipe,
+        capacity=default_post_capacity(
+            h, [(-np.asarray(c.R) @ np.asarray(c.T)).astype(np.float32)
+                for c in photo[:8]]),
+        skybox_locked=True)
     while it < total:
         try:
             batch = next(batch_iter)
@@ -231,9 +239,12 @@ def post_opt_stage(paths: ProjectPaths, chunk_name: str,
             batch_iter = iter(stream)
             batch = next(batch_iter)
         it += 1
-        state, aux = step(state, CameraBatch(*batch),
-                          jnp.float32(random_limit(rng)),
-                          exp_rows[int(batch.image_index)])
+        driver.step(CameraBatch(*batch), jnp.float32(random_limit(rng)),
+                    exp_rows[int(batch.image_index)])
+    state = driver.finish()
+    if driver.redos:
+        print(f"  post-opt: cut capacity grown to {driver.capacity} "
+              f"({driver.redos} redo steps)")
     h_opt = h._replace(params=state.params)
     save_hierarchy(out / "hierarchy.hier_opt.npz", h_opt)
     return h_opt

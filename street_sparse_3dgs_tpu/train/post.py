@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..config import OptimizationConfig, PipelineConfig
 from ..core.schedules import expon_lr
-from ..hierarchy.render import render_cut
+from ..hierarchy.render import render_cut, render_cut_compacted
 from ..hierarchy.structure import Hierarchy, select_cut
 from ..models import adam
 from ..models.gaussians import GaussianParams, apply_exposure
@@ -55,6 +55,78 @@ def random_limit(rng) -> float:
                     + math.log2(LIMIT_MIN))
 
 
+def default_post_capacity(h: Hierarchy, campos_list,
+                          limit: float = LIMIT_MIN) -> int:
+    """Initial compact-cut capacity: sample the FINEST-granularity cut at a
+    few camera positions and pad 1.5× to the next power of two (bounded
+    compile set under growth)."""
+    topo = h._replace(params=None)
+    worst = 0
+    for campos in list(campos_list)[:8]:
+        cut = select_cut(topo, jnp.asarray(campos), limit)
+        worst = max(worst, int(jnp.sum(cut.selected)))
+    need = int(worst * 1.5) + 64
+    return 1 << max(6, (need - 1).bit_length())
+
+
+class CompactPostDriver:
+    """Host driver for the O(cut) compacted post-opt step with static-shape
+    capacity growth.
+
+    The step is dispatched with a one-step lag: step t's ``cut_overflow`` is
+    checked right before dispatching t+1 (host batch prep overlaps device
+    work).  On overflow the capacity is grown to the next power of two that
+    fits, the step re-jitted, and step t REDONE from its pre-step state —
+    no work is ever silently dropped (the densification growth policy,
+    ``train/loop.py``)."""
+
+    def __init__(self, h: Hierarchy, opt: OptimizationConfig,
+                 pipe: PipelineConfig, capacity: int, **step_kwargs):
+        self._h = h
+        self._opt = opt
+        self._pipe = pipe
+        self._kwargs = step_kwargs
+        self.capacity = int(capacity)
+        self.state = init_post_state(h)
+        self.redos = 0
+        self._pending = None          # (pre-step state, args, aux)
+        self._make()
+
+    def _make(self):
+        self._step = make_post_step(self._h, self._opt, self._pipe,
+                                    compact_capacity=self.capacity,
+                                    **self._kwargs)
+
+    def _resolve(self):
+        prev, args, aux = self._pending
+        self._pending = None
+        ovf = int(aux["cut_overflow"])
+        while ovf > 0:
+            need = self.capacity + ovf
+            self.capacity = 1 << (need - 1).bit_length()
+            self._make()
+            self.redos += 1
+            self.state, aux = self._step(prev, *args)
+            ovf = int(aux["cut_overflow"])
+        return aux
+
+    def step(self, batch: CameraBatch, limit, exposure_row):
+        """Run one post-opt step; returns the PREVIOUS step's resolved aux
+        (None on the first call).  Call ``finish()`` after the loop."""
+        out = self._resolve() if self._pending is not None else None
+        prev = self.state
+        args = (batch, limit, exposure_row)
+        self.state, aux = self._step(prev, *args)
+        self._pending = (prev, args, aux)
+        return out
+
+    def finish(self) -> PostTrainState:
+        """Resolve the in-flight step and return the final state."""
+        if self._pending is not None:
+            self._resolve()
+        return self.state
+
+
 def make_post_step(
     h: Hierarchy,
     opt: OptimizationConfig,
@@ -63,13 +135,22 @@ def make_post_step(
     skybox_locked: bool = True,
     use_trained_exp: bool = True,
     white_background: bool = False,
+    compact_capacity: int | None = None,
 ):
     """Returns jitted ``(state, batch, limit, exposure_row) -> (state, aux)``.
     Topology arrays are closed over (they never change during post-opt).
 
     Post-opt renders against the *fixed* white/black background — unlike the
     coarse/single stages it does not randomize per step (``train_post.py:
-    42-43,123``)."""
+    42-43,123``).
+
+    ``compact_capacity`` switches the render from the O(nodes) mask form to
+    the O(cut) compacted form (``hierarchy/render.blend_cut_compact``): only
+    the selected rows (+ skybox tail) are gathered, lerped and rasterized;
+    grads scatter-add back to the node arrays through the gather VJP.  The
+    aux ``cut_overflow`` counts selected nodes beyond capacity — the driver
+    must grow the capacity and REDO the step when it is nonzero (static
+    shapes + host growth, same policy as densification)."""
     cfg = raster_config(pipe)
     bg = (jnp.ones((3,), jnp.float32) if white_background
           else jnp.zeros((3,), jnp.float32))
@@ -92,15 +173,20 @@ def make_post_step(
         frozen_rows = anchor_rows
 
     def loss_fn(params, batch: CameraBatch, cut, exposure_row):
-        out = render_cut(params, cut, n_nodes, skybox_count, batch.camera,
-                         sh_degree, bg, cfg)
+        if compact_capacity is not None:
+            out = render_cut_compacted(params, cut, n_nodes, skybox_count,
+                                       compact_capacity, batch.camera,
+                                       sh_degree, bg, cfg)
+        else:
+            out = render_cut(params, cut, n_nodes, skybox_count, batch.camera,
+                             sh_degree, bg, cfg)
         image = out["render"]
         if use_trained_exp:
             image = apply_exposure(image, exposure_row)
         image = jnp.clip(image, 0.0, 1.0)
         loss = losses.photometric(image * batch.alpha_mask, batch.gt_image,
                                   opt.lambda_dssim)
-        return loss, image
+        return loss, (image, out.get("cut_overflow", jnp.int32(0)))
 
     @jax.jit
     def step_fn(state: PostTrainState, batch: CameraBatch, limit,
@@ -108,7 +194,7 @@ def make_post_step(
         it = state.step + 1
         cut = select_cut(topo, batch.camera.campos, limit)
 
-        (loss, image), g_params = jax.value_and_grad(
+        (loss, (image, cut_overflow)), g_params = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, cut, exposure_row)
 
         g_params = GaussianParams(*(jnp.where(
@@ -128,6 +214,7 @@ def make_post_step(
         new_state = PostTrainState(params=new_params, adam_state=new_adam,
                                    step=it)
         return new_state, {"loss": loss, "image": image,
-                           "n_selected": jnp.sum(cut.selected)}
+                           "n_selected": jnp.sum(cut.selected),
+                           "cut_overflow": cut_overflow}
 
     return step_fn

@@ -219,6 +219,101 @@ def test_post_step_freezes_anchors_and_improves(built):
     assert np.mean(losses_seen[-5:]) < np.mean(losses_seen[:5])
 
 
+def test_compact_cut_render_matches_mask(built):
+    """The O(cut) compacted differentiable render (VERDICT round-2 #6) must
+    match the O(nodes) mask-form render in images AND gradients back to the
+    full node arrays (scatter-add through the gather VJP)."""
+    from street_sparse_3dgs_tpu.hierarchy.render import render_cut_compacted
+
+    h, _, scene = built
+    cam = scene.cameras[0]
+    cfg = RasterConfig(tile_capacity=256)
+    limit = 0.05
+    cut = select_cut(h, cam.campos, limit)
+    n_sel = int(jnp.sum(cut.selected))
+    cap = 1 << (n_sel - 1).bit_length()
+
+    def loss_mask(params):
+        out = render_cut(params, cut, h.n_nodes, h.skybox_count, cam, 3,
+                         jnp.zeros(3), cfg)
+        return jnp.mean(out["render"] ** 2) + 0.3 * jnp.mean(
+            out["depth"] ** 2), out["render"]
+
+    def loss_compact(params):
+        out = render_cut_compacted(params, cut, h.n_nodes, h.skybox_count,
+                                   cap, cam, 3, jnp.zeros(3), cfg)
+        return jnp.mean(out["render"] ** 2) + 0.3 * jnp.mean(
+            out["depth"] ** 2), out["render"]
+
+    (la, img_a), ga = jax.value_and_grad(loss_mask, has_aux=True)(h.params)
+    (lb, img_b), gb = jax.value_and_grad(loss_compact, has_aux=True)(h.params)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(lb), float(la), rtol=1e-5)
+    for name, a, b in zip(ga._fields, ga, gb):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4 * scale, rtol=2e-3,
+            err_msg=f"grad {name} mask-form vs compact")
+
+
+def test_compact_cut_overflow_counted(built):
+    """Selected nodes beyond the static capacity are counted, not dropped."""
+    from street_sparse_3dgs_tpu.hierarchy.render import compact_cut_indices
+
+    h, _, scene = built
+    cut = select_cut(h, scene.cameras[0].campos, 0.01)
+    n_sel = int(jnp.sum(cut.selected))
+    assert n_sel > 4
+    gi, gp, w, valid, overflow = compact_cut_indices(cut, 4)
+    assert int(overflow) == n_sel - 4
+    assert int(jnp.sum(valid)) == 4
+    # Full capacity: no overflow, indices are exactly the selected set.
+    gi, _, _, valid, overflow = compact_cut_indices(cut, 1 << 10)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(gi)[np.asarray(valid)]),
+        np.nonzero(np.asarray(cut.selected))[0])
+
+
+def test_compact_post_driver_grows_and_redoes(built):
+    """CompactPostDriver: an undersized capacity must grow (pow2) with the
+    overflowing step REDONE, and the final state must equal training the
+    same schedule at a sufficient capacity from the start."""
+    from street_sparse_3dgs_tpu.train.post import CompactPostDriver
+
+    h, params, scene = built
+    cam = scene.cameras[0]
+    cfg = PipelineConfig(tile_capacity=256)
+    opt = OptimizationConfig(position_lr_init=2e-4, position_lr_final=2e-6)
+    gt = jnp.clip(render_cut(h.params, select_cut(h, cam.campos, 1e-6),
+                             h.n_nodes, h.skybox_count, cam, 3, jnp.zeros(3),
+                             RasterConfig(tile_capacity=256))["render"], 0, 1)
+    batch = CameraBatch(camera=cam, gt_image=gt,
+                        alpha_mask=jnp.ones((1, 64, 64)),
+                        mono_invdepth=jnp.zeros((1, 64, 64)),
+                        depth_mask=jnp.zeros((1, 64, 64)),
+                        depth_reliable=jnp.array(False),
+                        image_index=jnp.int32(0))
+    import random
+
+    def run(capacity):
+        d = CompactPostDriver(h, opt, cfg, capacity=capacity,
+                              use_trained_exp=False)
+        rng = random.Random(0)
+        for _ in range(8):
+            d.step(batch, jnp.float32(random_limit(rng)), jnp.eye(3, 4))
+        return d, d.finish()
+
+    d_small, s_small = run(capacity=2)
+    assert d_small.redos > 0 and d_small.capacity > 2
+    d_big, s_big = run(capacity=d_small.capacity)
+    assert d_big.redos == 0
+    for name, a, b in zip(s_big.params._fields, s_big.params, s_small.params):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6,
+                                   err_msg=f"param {name} after growth redo")
+
+
 def test_random_limit_distribution():
     import random
     rng = random.Random(0)
