@@ -366,7 +366,7 @@ def _blocked_cumsum_cm(rows: jnp.ndarray, block: int = 512) -> jnp.ndarray:
             [rows, jnp.zeros((c, pad), rows.dtype)], axis=1)
     nb = (m + pad) // block
     r = rows.reshape(c, nb, block)
-    # triT[j, i] = (j <= i): within[c, b, i] = Σ_{j≤i} r[c, b, j].
+    # triT[j, i] = (j <= i): within[c, b, i] = sum_{j<=i} r[c, b, j].
     tri_t = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
              <= jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
              ).astype(rows.dtype)
@@ -383,78 +383,65 @@ def _blocked_cumsum_cm(rows: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return (within + offsets[:, :, None]).reshape(c, m + pad)[:, :m]
 
 
-def _gather_pack_plan(gather: jnp.ndarray, n: int):
-    """Precompute the backward segment-reduction permutation from the gather
-    table alone (int-only, once per binning).
-
-    The backward's job is a segment sum of the per-(tile, slot) cotangents
-    grouped by Gaussian row id — an ordering that depends only on ``gather``,
-    never on the cotangent values.  Round 2 paid a 12-operand unstable merge
-    sort of (keys + 10 payload channels) on EVERY backward (~2 ms at
-    512²/32k on v5e) to rediscover that same ordering each step; here two
-    2-operand int32 sorts run once in the forward and the backward applies
-    the result as one row-gather.
-
-    Key scheme (unchanged): pairs get key 2·id+1, dense queries key 2·r, so
-    query r sorts after all pairs with id < r and before any pair with
-    id == r; the segment sum for row r is then the difference of the
-    channel prefix sums at consecutive query positions.
-
-    Returns (perm [p+nq] — source index per sorted position, pos [nq] —
-    sorted position of query r, in r order)."""
-    p = gather.size
-    nq = n + 1
-    ids = gather.reshape(p).astype(jnp.int32)
-    keys = jnp.concatenate([ids * 2 + 1,
-                            jnp.arange(nq, dtype=jnp.int32) * 2])
-    src = jnp.arange(p + nq, dtype=jnp.int32)
-    _, perm = jax.lax.sort((keys, src), num_keys=1, is_stable=False)
-    # Query positions, ordered by r (queries are sources ≥ p; pair slots
-    # get a sentinel tag and land past the first nq outputs).
-    qtag = jnp.where(perm >= p, perm - p, jnp.int32(1) << 30)
-    pos = jax.lax.sort((qtag, src), num_keys=1, is_stable=False)[1][:nq]
-    return perm, pos
-
-
 @jax.custom_vjp
 def _gather_pack(attrs_n: jnp.ndarray, gather: jnp.ndarray) -> jnp.ndarray:
-    """``swapaxes(attrs_n[gather], 1, 2)`` ([N, C] → [T, C, K]) with a
-    precomputed-permutation segment-reduction VJP.
+    """``swapaxes(attrs_n[gather], 1, 2)`` ([N, C] -> [T, C, K]) with a
+    sort-based segment-reduction VJP.
 
-    XLA's native VJP is a 393k-row random scatter-add — row-latency bound
-    (~6-7 ms at 512²/32k on v5e regardless of row width), and its follow-up
-    ``searchsorted`` lowers to a while loop of serial HBM gathers (~4 ms).
-    The backward here is scatter-free AND sort-free: the forward computes
-    the value-independent merge permutation once (``_gather_pack_plan``),
-    and the backward applies it as a single [p+nq, C]-row gather, takes a
+    XLA's native VJP is a 393k-row random scatter-add -- row-latency bound
+    (~6-7 ms at 512x512/32k on v5e regardless of row width), and its
+    follow-up ``searchsorted`` lowers to a while loop of serial HBM gathers
+    (~4 ms).  The backward here merges the pair cotangents and the dense
+    row ids into ONE multi-operand unstable sort (queries carry zero
+    channels and sort immediately before their row's pairs), takes a
     blocked triangular-matmul prefix sum over the channels, and reads each
     row's segment sum as the difference of the prefix at consecutive query
-    positions.  Equal-key pair order within a row's segment is whatever the
-    plan's sort produced, but the plan is fixed per binning, so summation
-    order is deterministic run-to-run."""
+    positions.
+
+    Measured alternative (do not redo): precomputing the merge PERMUTATION
+    from the keys alone (two int32 sorts in the fwd) and applying it in the
+    bwd as a row-gather is SLOWER -- the [400k, 10] source exceeds the
+    gather unit's scratch staging, so the permutation-apply runs as an
+    HBM-latency-bound random row gather (2.8 ms) on top of the plan sorts
+    (2x0.39 ms); the value sort moves the same bytes through the sort
+    network's sequential-access merges (~2 ms total, round-3 on-chip
+    trace).  Equal-key pair order is unspecified, but a fixed compiled sort
+    network makes the summation order deterministic run-to-run."""
     return jnp.swapaxes(attrs_n[gather], 1, 2)
 
 
 def _gather_pack_fwd(attrs_n, gather):
-    perm, pos = _gather_pack_plan(gather, attrs_n.shape[0])
-    return _gather_pack(attrs_n, gather), (perm, pos)
+    return _gather_pack(attrs_n, gather), (gather, attrs_n.shape[0])
 
 
 def _gather_pack_bwd(res, d):
-    perm, pos = res
+    gather, n = res
     t, c, k = d.shape
     p = t * k
-    # [T, C, K] cotangent → [p, C] rows; query slots (perm ≥ p) materialize
-    # as fill-zeros inside the gather itself — concatenating an explicit
-    # zero block first costs a 17 MB copy at the bench scale.
-    flat = d.transpose(0, 2, 1).reshape(p, c)
-    srt = jnp.take(flat, perm, axis=0, mode="fill",
-                   fill_value=0)                          # [p+nq, C]
-    # The running sum is always f32 — a low-precision prefix over 400k+
-    # rows would drown the per-row differences.
-    s = _blocked_cumsum_cm(jnp.transpose(srt).astype(jnp.float32))
+    nq = n + 1
+    ids = gather.reshape(p)
+    # Pairs get key 2*id+1, dense queries key 2*r: query r sorts after all
+    # pairs with id < r and before any pair with id == r.
+    keys = jnp.concatenate(
+        [ids * 2 + 1, jnp.arange(nq, dtype=jnp.int32) * 2])
+    tag = jnp.concatenate(
+        [jnp.full((p,), jnp.int32(1) << 30),
+         jnp.arange(nq, dtype=jnp.int32)])
+    zq = jnp.zeros((nq,), d.dtype)
+    ops = (keys, tag) + tuple(
+        jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
+    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    # Payload channels sort at their own width (half traffic in bf16
+    # mode); the running sum is always f32 -- a low-precision prefix over
+    # 400k+ rows would drown the per-row differences.
+    rows = jnp.stack(out[2:], axis=0).astype(jnp.float32)  # [C, P+nq]
+    s = _blocked_cumsum_cm(rows)                          # inclusive
+    # Query positions, ordered by r (queries have tag r < 2^30).
+    pos = jax.lax.sort(
+        (out[1], jnp.arange(p + nq, dtype=jnp.int32)),
+        num_keys=1, is_stable=False)[1][:nq]
     b = jnp.transpose(s)[pos]                             # [nq, C]
-    # s at query r = Σ of pairs with id < r (query rows are zero).
+    # s at query r = sum of pairs with id < r (query rows are zero).
     return (b[1:] - b[:-1]).astype(d.dtype), None
 
 

@@ -19,12 +19,15 @@ from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
 from street_sparse_3dgs_tpu.pipeline.full_train import (ProjectPaths,
                                                         full_train)
 
-W, H = 64, 48
+W, H = 128, 96
 
 
 def make_project(tmp_path):
     """Synthesize a 2-chunk project: a plane of Gaussians along x, cameras
-    orbiting above, GT images rendered by the tiled rasterizer."""
+    orbiting above.  GT images are rendered by the ORACLE at 2× resolution
+    and average-pooled (the ``test_convergence.py`` de-circularization) —
+    the production projection/binning/blend path never sees its own output
+    as a target, so its regressions cannot cancel out of the PSNR."""
     from PIL import Image
 
     key = jax.random.PRNGKey(7)
@@ -33,6 +36,12 @@ def make_project(tmp_path):
                                                       extent=2.0)
     # Flatten to a street-like slab along x.
     means = means.at[:, 2].multiply(0.2)
+    # Nearly-diffuse GT: full-strength random degree-3 SH cannot be
+    # recovered from 7 training views, so a strongly view-dependent GT
+    # caps HELD-OUT PSNR at ~14 dB regardless of pipeline quality (train
+    # views fit 5 dB higher).  A mild view dependence keeps the SH path
+    # exercised while making the held-out floor meaningful.
+    sh = sh.at[:, 1:, :].multiply(0.1)
 
     cam_infos = []
     cameras = {1: colmap.ColmapCamera(
@@ -47,9 +56,12 @@ def make_project(tmp_path):
         ang = 2 * math.pi * i / 8
         pos = np.array([2.2 * math.cos(ang), 2.2 * math.sin(ang), 1.4])
         cam = lookat_camera(pos, np.zeros(3), W, H)
-        out = rasterize(means, scales, quats, opac, sh, cam, 3,
-                        jnp.zeros(3), RasterConfig(tile_capacity=512))
-        img = np.clip(np.asarray(out["render"]).transpose(1, 2, 0), 0, 1)
+        cam_hi = lookat_camera(pos, np.zeros(3), W * 2, H * 2)
+        out = rasterize(means, scales, quats, opac, sh, cam_hi, 3,
+                        jnp.zeros(3), RasterConfig(method="oracle"))
+        hi = jnp.clip(out["render"], 0, 1)
+        img = np.asarray(hi.reshape(3, H, 2, W, 2).mean(axis=(2, 4))
+                         ).transpose(1, 2, 0)
         name = f"view{i:03d}.png"
         Image.fromarray((img * 255).astype(np.uint8)).save(img_dir / name)
         # Recover colmap extrinsics from the camera: viewmatrix = w2c.
@@ -89,20 +101,23 @@ def make_project(tmp_path):
     return proj
 
 
+PSNR_FLOOR_TAU0 = 18.0
+
+
 @pytest.mark.slow
 def test_full_train_pipeline(tmp_path):
     proj = make_project(tmp_path)
     opt = OptimizationConfig(
-        iterations=60, densification_interval=20, densify_from_iter=10,
-        densify_until_iter=50, opacity_reset_interval=10_000,
+        iterations=800, densification_interval=100, densify_from_iter=200,
+        densify_until_iter=600, opacity_reset_interval=10_000,
         position_lr_init=2e-4, position_lr_final=2e-6,
-        densify_grad_threshold=0.05)
+        densify_grad_threshold=2e-4)
     pipe = PipelineConfig(tile_capacity=512)
     model = ModelConfig(eval=True, resolution=1)
 
     merged = full_train(proj.project_dir, model, opt, pipe,
-                        skip_if_exists=True, coarse_iterations=40,
-                        chunk_iterations=60, post_iterations=25,
+                        skip_if_exists=True, coarse_iterations=200,
+                        chunk_iterations=800, post_iterations=300,
                         skybox_num=500)
     assert merged is not None
     # Artifacts all exist.
@@ -119,9 +134,14 @@ def test_full_train_pipeline(tmp_path):
         h, str(proj.colmap_dir), ModelConfig(
             eval=True, resolution=1, images=str(proj.images_dir)),
         pipe, taus=(0.0, 6.0), with_lpips=False)
-    # Convergence quality needs the full iteration budget (the reference
-    # trains 30k/chunk); this integration test checks the plumbing: finite
-    # metrics and a non-degenerate render at every tau.
+    # QUALITY floor with teeth (VERDICT round-2 #5): the GT is oracle-
+    # rendered at 2× (never the production path's own output), the view is
+    # HELD OUT of training, and the metric is computed after the full
+    # scaffold → chunk → hierarchy → post-opt → merge chain.  A regression
+    # anywhere in that chain drops the τ=0 PSNR below the floor.
+    print("pipeline tau sweep:",
+          {t: round(r["psnr"], 2) for t, r in results.items()})
+    assert results[0.0]["psnr"] >= PSNR_FLOOR_TAU0, results
     for tau, row in results.items():
         assert np.isfinite(row["psnr"]) and row["psnr"] > 5.0, (tau, row)
         assert 0.0 <= row["ssim"] <= 1.0
