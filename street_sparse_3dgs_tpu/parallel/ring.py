@@ -64,6 +64,7 @@ def rasterize_ring_staged(
     stage_pair_capacity: int | None = None,
     axis: str = "tile",
     interpret: bool | None = None,
+    mean2d_residual: jnp.ndarray | None = None,
 ):
     """Differentiable render with Gaussians sharded over ``mesh[axis]``.
 
@@ -71,8 +72,10 @@ def rasterize_ring_staged(
     ``stage_pair_capacity`` bounds how many (tile, gaussian) pairs one chip
     banks from one visiting block (default: the lossless ``blk·max_dup``;
     shrink it to trade HBM for counted overflow).  Returns the same dict as
-    ``ops.rasterize.rasterize`` plus ``pair_overflow``.
-    """
+    ``ops.rasterize.rasterize`` plus ``pair_overflow`` (and, for training,
+    per-Gaussian ``radii``/``visibility``, sharded like the inputs).
+    ``mean2d_residual`` [N, 2] is the screen-grad densify-stats hook (the
+    ``retain_grad`` trick), sharded like the Gaussians."""
     n_dev = mesh.shape[axis]
     n = means3d.shape[0]
     if n % n_dev:
@@ -89,11 +92,12 @@ def rasterize_ring_staged(
     perm = _ring_perm(n_dev)
     interp = _interpret_default() if interpret is None else interpret
 
-    def local_render(xyz, sc, qu, op, sh, act, bg_rep):
+    def local_render(xyz, sc, qu, op, sh, act, res2d, bg_rep):
         d = jax.lax.axis_index(axis)
         t0 = (d * t_local).astype(jnp.int32)
         proj = project_gaussians(xyz, sc, qu, op, sh, camera, sh_degree,
                                  1.0, act)
+        proj = proj._replace(mean2d=proj.mean2d + res2d)
         base = (d * blk).astype(jnp.int32)
 
         # ---- Pass A: circulate light geometry, bank my tiles' pairs ----
@@ -194,16 +198,20 @@ def rasterize_ring_staged(
         dup_ovf = jax.lax.psum(jnp.sum(a_dovf), axis) // n_dev
         pair_ovf = jax.lax.psum(jnp.sum(a_povf), axis)
         tile_ovf = jax.lax.psum(tile_ovf, axis)
-        return out, dup_ovf[None], pair_ovf[None], tile_ovf[None]
+        return (out, dup_ovf[None], pair_ovf[None], tile_ovf[None],
+                jax.lax.stop_gradient(proj.radius),
+                jax.lax.stop_gradient(proj.valid))
 
     specs = P(axis)
-    out, dup_ovf, pair_ovf, tile_ovf = shard_map(
+    out, dup_ovf, pair_ovf, tile_ovf, radii, valid = shard_map(
         local_render, mesh=mesh,
-        in_specs=(specs, specs, specs, specs, specs, specs, P()),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(specs, specs, specs, specs, specs, specs, specs, P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )(means3d, scales, quats, opacities, sh_coeffs,
       jnp.ones(n, bool) if active_mask is None else active_mask,
+      jnp.zeros((n, 2), means3d.dtype) if mean2d_residual is None
+      else mean2d_residual,
       bg[None, :])
 
     def to_image(flat, channels):
@@ -217,6 +225,175 @@ def rasterize_ring_staged(
     invdepth = to_image(out[:, OI:OI + 1, :], 1)
     alpha_img = to_image(out[:, OA:OA + 1, :], 1)[0]
     return {"render": image, "depth": invdepth, "alpha": alpha_img,
+            "radii": radii, "visibility": valid,
             "dup_overflow": dup_ovf[0],
             "pair_overflow": pair_ovf[0],
             "tile_overflow": tile_ovf[0]}
+
+
+def make_ring_train_step(
+    meta,
+    opt,
+    pipe,
+    spatial_lr_scale: float,
+    mesh: Mesh,
+    axis: str = "tile",
+    *,
+    use_trained_exp: bool = True,
+    optimize_xyz: bool = True,
+    zero_scaling_grads_for_skybox: bool = False,
+    additional_depth_maps_weight: float = 0.9,
+    random_background: bool = True,
+    white_background: bool = False,
+    background_seed: int = 17,
+    stage_pair_capacity: int | None = None,
+    interpret: bool | None = None,
+):
+    """Model-parallel TRAINING step: Gaussian rows (params, Adam moments,
+    densify stats) sharded over ``mesh[axis]``, one view per step rendered
+    by the ring (VERDICT round-2 #4's HBM-exceeding-chunk case: no chip
+    ever holds the full model).
+
+    The render runs under ``shard_map`` (ring VJP routes each block's
+    cotangents back to its owner); everything around it — loss, exposure,
+    sparse Adam, stat accumulation — is ordinary elementwise jit that XLA
+    partitions along the already-sharded row axis, so the update never
+    gathers the model.  Returns ``(step_fn, shard_state)``;
+    ``shard_state`` places a replicated/fresh TrainState onto the mesh
+    (rows over ``axis``, exposure and scalars replicated)."""
+    import functools
+
+    from jax.sharding import NamedSharding
+
+    from ..core.schedules import expon_lr
+    from ..models import adam
+    from ..models.gaussians import (GaussianParams, activate_opacity,
+                                    activate_scales, apply_exposure,
+                                    sh_coeffs)
+    from ..train import losses
+    from ..train.step import TrainState, raster_config
+
+    cfg = raster_config(pipe)
+    bg_key = jax.random.PRNGKey(background_seed)
+    fixed_bg = (jnp.ones((3,), jnp.float32) if white_background
+                else jnp.zeros((3,), jnp.float32))
+    w_add = additional_depth_maps_weight
+
+    def loss_fn(params, active, exposure, mean2d_res, batch, active_sh,
+                depth_w, bg, depth_flag):
+        out = rasterize_ring_staged(
+            params.xyz, activate_scales(params), params.quats,
+            activate_opacity(params, meta), sh_coeffs(params), batch.camera,
+            active_sh, bg, mesh, cfg, active_mask=active,
+            stage_pair_capacity=stage_pair_capacity, axis=axis,
+            interpret=interpret, mean2d_residual=mean2d_res)
+        image = out["render"]
+        if use_trained_exp:
+            image = apply_exposure(image, exposure[batch.image_index])
+        image = jnp.clip(image, 0.0, 1.0)
+        photo = losses.photometric(image * batch.alpha_mask, batch.gt_image,
+                                   opt.lambda_dssim)
+        pure = losses.depth_l1(out["depth"], batch.mono_invdepth,
+                               batch.depth_mask)
+        photo = photo + jnp.where(batch.depth_reliable, depth_w * pure, 0.0)
+        hinge = losses.depth_hinge(out["depth"], batch.mono_invdepth)
+        donly = depth_w * (w_add * hinge + (1.0 - w_add) * pure)
+        donly = jnp.where(batch.depth_reliable, donly, 0.0)
+        loss = jnp.where(depth_flag, donly, photo)
+        return loss, (out["visibility"], out["radii"])
+
+    @functools.partial(jax.jit, static_argnames=("active_sh",))
+    def step_fn(state: TrainState, batch, active_sh: int = None,
+                depth_flag: jnp.ndarray | None = None):
+        active_sh_ = meta.sh_degree if active_sh is None else active_sh
+        it = state.step + 1
+        xyz_lr = expon_lr(it, opt.position_lr_init * spatial_lr_scale,
+                          opt.position_lr_final * spatial_lr_scale,
+                          lr_delay_mult=opt.position_lr_delay_mult,
+                          max_steps=opt.position_lr_max_steps)
+        if not optimize_xyz:
+            xyz_lr = jnp.float32(0.0)
+        exp_lr = expon_lr(it, opt.exposure_lr_init, opt.exposure_lr_final,
+                          lr_delay_steps=opt.exposure_lr_delay_steps,
+                          lr_delay_mult=opt.exposure_lr_delay_mult,
+                          max_steps=opt.iterations)
+        depth_w = expon_lr(it, opt.depth_l1_weight_init,
+                           opt.depth_l1_weight_final,
+                           max_steps=opt.iterations)
+        capacity = state.params.xyz.shape[0]
+        mean2d_res = jnp.zeros((capacity, 2), jnp.float32)
+        if depth_flag is None:
+            depth_flag = jnp.asarray(False)
+        if random_background:
+            bg = jax.random.uniform(jax.random.fold_in(bg_key, it), (3,))
+        else:
+            bg = fixed_bg
+
+        (loss, (vis, radii)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 2, 3), has_aux=True)(
+                state.params, state.active, state.exposure, mean2d_res,
+                batch, active_sh_, depth_w, bg, depth_flag)
+        g_params, g_exposure, g_screen = grads
+
+        rows = jnp.arange(capacity)
+        if meta.skybox_locked and meta.skybox_points > 0:
+            locked = rows < meta.skybox_points
+            g_params = GaussianParams(*(jnp.where(
+                locked.reshape((-1,) + (1,) * (g.ndim - 1)), 0.0, g)
+                for g in g_params))
+        if zero_scaling_grads_for_skybox and meta.skybox_points > 0:
+            sky = (rows < meta.skybox_points)[:, None]
+            g_params = g_params._replace(
+                log_scales=jnp.where(sky, 0.0, g_params.log_scales))
+
+        relevant = (g_params.opacity_raw[:, 0] != 0.0) & state.active
+        lrs = adam.ParamLrs.from_config(xyz_lr, opt.feature_lr,
+                                        opt.opacity_lr, opt.scaling_lr,
+                                        opt.rotation_lr)
+        new_params, new_adam = adam.step(state.params, g_params,
+                                         state.adam_state, lrs, relevant)
+
+        if use_trained_exp:
+            new_exposure, new_exp_adam = adam.dense_step(
+                state.exposure, g_exposure, state.exposure_adam, exp_lr)
+        else:
+            new_exposure, new_exp_adam = state.exposure, state.exposure_adam
+
+        visible = vis & state.active
+        norm = jnp.linalg.norm(g_screen[..., :2], axis=-1)
+        grad_accum = jnp.where(visible,
+                               jnp.maximum(state.grad_accum, norm),
+                               state.grad_accum)
+        denom = state.denom + visible.astype(jnp.float32)
+        max_radii2d = jnp.where(visible,
+                                jnp.maximum(state.max_radii2d, radii),
+                                state.max_radii2d)
+
+        new_state = state._replace(
+            params=new_params, adam_state=new_adam, exposure=new_exposure,
+            exposure_adam=new_exp_adam, grad_accum=grad_accum, denom=denom,
+            max_radii2d=max_radii2d, step=it)
+        return new_state, {"loss": loss, "n_visible": jnp.sum(visible)}
+
+    def shard_state(state: TrainState) -> TrainState:
+        row = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+
+        def place(x, sharded):
+            sharded = sharded and jnp.ndim(x) >= 1
+            return jax.device_put(x, row if sharded else rep)
+
+        return TrainState(
+            params=jax.tree.map(lambda x: place(x, True), state.params),
+            active=place(state.active, True),
+            adam_state=jax.tree.map(lambda x: place(x, True),
+                                    state.adam_state),
+            exposure=place(state.exposure, False),
+            exposure_adam=jax.tree.map(lambda x: place(x, False),
+                                       state.exposure_adam),
+            grad_accum=place(state.grad_accum, True),
+            denom=place(state.denom, True),
+            max_radii2d=place(state.max_radii2d, True),
+            step=place(state.step, False))
+
+    return step_fn, shard_state

@@ -232,6 +232,67 @@ def test_tile_sharded_train_step_matches_dp(scene):
                            tp_state.params.xyz)
 
 
+def test_ring_train_step_matches_serial(scene):
+    """Model-parallel ring TRAINING step (params/moments/stats sharded over
+    the gaussian axis, render via the ring) must match the serial
+    single-view step: same loss, same densify stats, post-Adam params equal
+    up to one Adam quantum (see the tp/dp test for why)."""
+    from street_sparse_3dgs_tpu.parallel.ring import make_ring_train_step
+    from street_sparse_3dgs_tpu.train.step import make_train_step
+
+    key = jax.random.PRNGKey(0)
+    params, active, meta = create_from_pcd(
+        key, np.asarray(scene.means3d), np.full((256, 3), 0.5), capacity=256)
+    opt = OptimizationConfig()
+    pipe = PipelineConfig(tile_capacity=256, max_dup=16,
+                          raster_method="pallas")
+    b = _mixed_batch(scene, 1)
+    batch = jax.tree.map(lambda x: x[0] if hasattr(x, "shape")
+                         and x.shape[:1] == (1,) else x, b)
+    batch = batch._replace(camera=jax.tree.map(lambda x: x[0], b.camera),
+                           depth_reliable=jnp.asarray(True))
+
+    serial_step = make_train_step(meta, opt, pipe, 1.0,
+                                  sh_degree_schedule=False)
+    s_state, s_aux = serial_step(init_state(params, active, n_images=1),
+                                 batch)
+    s_state = jax.tree.map(np.asarray, s_state)
+
+    mesh = make_mesh(n_data=1, n_tile=8)
+    ring_step, shard_state = make_ring_train_step(meta, opt, pipe, 1.0, mesh)
+    with mesh:
+        r_state, r_aux = ring_step(
+            shard_state(init_state(params, active, n_images=1)), batch, 3)
+        r_state = jax.tree.map(np.asarray, r_state)
+
+    np.testing.assert_allclose(float(r_aux["loss"]), float(s_aux["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    assert int(r_aux["n_visible"]) == int(s_aux["n_visible"])
+    quantum = {
+        "xyz": opt.position_lr_init, "features_dc": opt.feature_lr,
+        "features_rest": opt.feature_lr / 20.0, "opacity_raw": opt.opacity_lr,
+        "log_scales": opt.scaling_lr, "quats": opt.rotation_lr,
+    }
+    for name, a, b_ in zip(s_state.params._fields, s_state.params,
+                           r_state.params):
+        bound = 2.05 * quantum[name] + 1e-5
+        max_dev = float(np.abs(np.asarray(b_) - np.asarray(a)).max())
+        assert max_dev <= bound, (
+            f"param {name}: ring/serial deviate by {max_dev} > {bound}")
+    np.testing.assert_allclose(r_state.exposure, s_state.exposure, atol=1e-6)
+    np.testing.assert_allclose(r_state.grad_accum, s_state.grad_accum,
+                               atol=1e-5)
+    np.testing.assert_allclose(r_state.denom, s_state.denom, atol=0)
+    np.testing.assert_allclose(r_state.max_radii2d, s_state.max_radii2d,
+                               atol=1e-5)
+    # Depth-only flag changes the result (the dynamic branch is live).
+    with mesh:
+        r2, _ = ring_step(
+            shard_state(init_state(params, active, n_images=1)), batch, 3,
+            jnp.asarray(True))
+    assert not np.allclose(np.asarray(r2.params.xyz), r_state.params.xyz)
+
+
 def test_ring_staged_matches_single(scene):
     """Gaussian+tile sharded ring render == single-device render (images)."""
     from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged

@@ -52,8 +52,11 @@ def make_project(tmp_path):
     proj = ProjectPaths(tmp_path)
     img_dir = proj.images_dir
     img_dir.mkdir(parents=True)
-    for i in range(8):
-        ang = 2 * math.pi * i / 8
+    # 16 views, one held out: with only 7 training views the toy slab is
+    # under-constrained and held-out PSNR saturates ~6 dB below train
+    # (floaters) no matter the iteration budget.
+    for i in range(16):
+        ang = 2 * math.pi * i / 16
         pos = np.array([2.2 * math.cos(ang), 2.2 * math.sin(ang), 1.4])
         cam = lookat_camera(pos, np.zeros(3), W, H)
         cam_hi = lookat_camera(pos, np.zeros(3), W * 2, H * 2)
