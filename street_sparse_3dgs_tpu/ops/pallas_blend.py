@@ -123,15 +123,22 @@ def _alpha_block(attrs_ref, sl, px, py):
 
 
 def _make_fwd_kernel(tiles_x: int, t_mod: int):
-    def kernel(tile0_ref, attrs_ref, bg_ref, out_ref):
+    def kernel(tile0_ref, counts_ref, attrs_ref, bg_ref, out_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
         px, py = _pixel_coords(tiles_x, t_mod, tile0_ref)
         tri = _tri(False)
+        count = counts_ref[pl.program_id(0), 0]
 
         def body(kb, carry):
             tlog, ncontrib, rgb, ivd, acc, alive = carry
-            all_done = jnp.all(alive < 0.5)
+            # Skip blocks past the tile's binned count (all slots masked —
+            # exact no-ops) and blocks past every pixel's termination.  The
+            # occupancy distribution is bimodal (BASELINE.md: p50 303 /
+            # p90 2002 pre-cap at the bench scene), so sparse tiles skip
+            # most of the K-capacity padding; the backward kernel gets the
+            # same effect from its ``ncontrib <= base`` gate.
+            all_done = jnp.all(alive < 0.5) | (kb * KB >= count)
 
             def live(_):
                 sl = pl.ds(kb * KB, KB)
@@ -294,9 +301,13 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _specs(k_cap, per_tile_bg: bool):
+def _specs(k_cap, per_tile_bg: bool, t: int = 1):
     tile0_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
+    # Whole [T, 1] array resident in SMEM (4 B/tile); per-tile (1, 1)
+    # blocks would violate the lowering's (8, 128) divisibility rule.
+    counts_spec = pl.BlockSpec((t, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
     attrs_spec = pl.BlockSpec((1, N_CH, k_cap), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     # bg is either a single [1, 3] color (kernel sees the same block at
@@ -307,33 +318,37 @@ def _specs(k_cap, per_tile_bg: bool):
         memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, N_OUT, P), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    return tile0_spec, attrs_spec, bg_spec, out_spec
+    return tile0_spec, counts_spec, attrs_spec, bg_spec, out_spec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _blend_packed(interpret, tiles_x, t_mod, tile0, attrs, bg):
-    out, _ = _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, attrs, bg)
+def _blend_packed(interpret, tiles_x, t_mod, tile0, counts, attrs, bg):
+    """``counts`` is the per-tile binned pair count [T, 1] int32 (pre-clip;
+    padded tiles carry 0) — a forward-only block-skip hint, never touched by
+    gradients."""
+    out, _ = _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, counts,
+                               attrs, bg)
     return out
 
 
-def _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, attrs, bg):
+def _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, counts, attrs, bg):
     t, _, k_cap = attrs.shape
-    tile0_spec, attrs_spec, bg_spec, out_spec = _specs(
-        k_cap, bg.shape[0] != 1)
+    tile0_spec, counts_spec, attrs_spec, bg_spec, out_spec = _specs(
+        k_cap, bg.shape[0] != 1, t)
     out = pl.pallas_call(
         _make_fwd_kernel(tiles_x, t_mod), grid=(t,),
-        in_specs=[tile0_spec, attrs_spec, bg_spec],
+        in_specs=[tile0_spec, counts_spec, attrs_spec, bg_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((t, N_OUT, P), jnp.float32),
         interpret=interpret,
-    )(tile0, attrs, bg)
+    )(tile0, counts, attrs, bg)
     return out, (tile0, attrs, bg, out)
 
 
 def _blend_packed_bwd(interpret, tiles_x, t_mod, res, g_out):
     tile0, attrs, bg, saved = res
     t, _, k_cap = attrs.shape
-    tile0_spec, attrs_spec, bg_spec, out_spec = _specs(
+    tile0_spec, _, attrs_spec, bg_spec, out_spec = _specs(
         k_cap, bg.shape[0] != 1)
     d_attrs = pl.pallas_call(
         _make_bwd_kernel(tiles_x, t_mod), grid=(t,),
@@ -350,7 +365,7 @@ def _blend_packed_bwd(interpret, tiles_x, t_mod, res, g_out):
                           for i in (OR, OG, OB)], axis=1)   # [T, 3]
     g_bg = per_tile if bg.shape[0] != 1 else jnp.sum(
         per_tile, axis=0, keepdims=True)
-    return None, d_attrs, g_bg
+    return None, None, d_attrs, g_bg
 
 
 _blend_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)
@@ -501,7 +516,8 @@ def blend_tiles_pallas(
 
     interp = _interpret_default() if interpret is None else interpret
     tile0 = jnp.zeros((1, 1), jnp.int32)
-    out = _blend_packed(interp, tiles_x, 0, tile0, attrs,
+    out = _blend_packed(interp, tiles_x, 0, tile0,
+                        bins.counts.astype(jnp.int32)[:, None], attrs,
                         bg[None, :])                    # [T, 8, P]
 
     def to_image(flat, channels):

@@ -192,7 +192,8 @@ def rasterize_ring_staged(
             stage_b, (attrs_blk, base, acc0), None, length=n_dev)
         attrs_t = attrs_t.at[:, MK, :].set(tmask.astype(attrs_t.dtype))
 
-        out = _blend_packed(interp, tiles_x, 0, t0.reshape(1, 1), attrs_t,
+        out = _blend_packed(interp, tiles_x, 0, t0.reshape(1, 1),
+                            counts.astype(jnp.int32)[:, None], attrs_t,
                             bg_rep)
 
         dup_ovf = jax.lax.psum(jnp.sum(a_dovf), axis) // n_dev

@@ -63,6 +63,9 @@ def rasterize_tile_sharded(
         [bins.gather, jnp.zeros((pad_t, k_cap), bins.gather.dtype)], 0)
     m = jnp.concatenate(
         [bins.mask, jnp.zeros((pad_t, k_cap), bool)], 0).astype(jnp.float32)
+    counts = jnp.concatenate(
+        [bins.counts.astype(jnp.int32),
+         jnp.zeros((pad_t,), jnp.int32)])[:, None]       # [T_pad, 1]
 
     from ..ops.pallas_blend import pack_gather_attrs
 
@@ -74,17 +77,17 @@ def rasterize_tile_sharded(
     interp = _interpret_default() if interpret is None else interpret
     t_local = (t_total + pad_t) // n_shards
 
-    def local_blend(attrs_shard, bg_rep):
+    def local_blend(attrs_shard, counts_shard, bg_rep):
         tile0 = (jax.lax.axis_index("tile") * t_local).astype(
             jnp.int32).reshape(1, 1)
-        return _blend_packed(interp, tiles_x, 0, tile0, attrs_shard,
-                             bg_rep)
+        return _blend_packed(interp, tiles_x, 0, tile0, counts_shard,
+                             attrs_shard, bg_rep)
 
     out = shard_map(
         local_blend, mesh=mesh,
-        in_specs=(P("tile"), P()), out_specs=P("tile"),
+        in_specs=(P("tile"), P("tile"), P()), out_specs=P("tile"),
         check_vma=False,
-    )(attrs, bg[None, :])                               # [T_pad, 8, 256]
+    )(attrs, counts, bg[None, :])                       # [T_pad, 8, 256]
 
     def to_image(flat, channels):
         img = flat[:t_total].reshape(tiles_y, tiles_x, channels, TILE, TILE)

@@ -103,6 +103,9 @@ def rasterize_batch_tile_sharded(
             [a, jnp.zeros((t_pad - t_total,) + a.shape[1:], a.dtype)], 0)
 
     attrs = jnp.concatenate([pad_view(a) for a in attrs_views], 0)
+    counts = jnp.concatenate(
+        [pad_view(bi.counts.astype(jnp.int32)) for bi in bins_list]
+    )[:, None]                                          # [B·T_pad, 1]
     bg_tiles = jnp.repeat(bgs, t_pad, axis=0)           # [B·T_pad, 3]
 
     interp = _interpret_default() if interpret is None else interpret
@@ -114,16 +117,16 @@ def rasterize_batch_tile_sharded(
             idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
         return idx
 
-    def local_blend(attrs_shard, bg_shard):
+    def local_blend(attrs_shard, counts_shard, bg_shard):
         tile0 = (shard_index() * t_local).astype(jnp.int32).reshape(1, 1)
-        return _blend_packed(interp, tiles_x, t_pad, tile0, attrs_shard,
-                             bg_shard)
+        return _blend_packed(interp, tiles_x, t_pad, tile0, counts_shard,
+                             attrs_shard, bg_shard)
 
     out = shard_map(
         local_blend, mesh=mesh,
-        in_specs=(P(axes), P(axes)), out_specs=P(axes),
+        in_specs=(P(axes), P(axes), P(axes)), out_specs=P(axes),
         check_vma=False,
-    )(attrs, bg_tiles)                                  # [B·T_pad, 8, 256]
+    )(attrs, counts, bg_tiles)                          # [B·T_pad, 8, 256]
     out = out.reshape(b, t_pad, 8, TILE * TILE)
 
     def to_image(flat, channels):
