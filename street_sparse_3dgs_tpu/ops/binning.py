@@ -11,22 +11,25 @@ Algorithm:
      its rectangle (overflow beyond ``max_dup`` tiles is counted, not silently
      dropped);
   3. the [N·D] pair list is sorted by the packed int32 key
-     ``tile_id << ceil_log2(N) | depth_rank`` (keys are unique, so an
-     unstable sort yields exactly tile-grouped, depth-ordered pairs), with
-     the pair's ORIGINAL row index as the carried value.  A packed key +
-     one int32 value sorts ~4× faster than the stable two-operand sort on
-     TPU (v5e: ~0.8 ms vs 3.3 ms at 1M pairs).  When
-     ``log2(T+1)+log2(N) > 31`` (huge scenes) it falls back to a
-     three-operand lexicographic sort;
+     ``tile_id << ceil_log2(N) | depth_rank`` ALONE (keys are unique, so an
+     unstable sort yields exactly tile-grouped, depth-ordered pairs, and
+     the depth rank doubles as the carried value — it rides the low bits).
+     A single-operand sort beats the (key, value) two-operand form by
+     ~0.75 ms at 1.36M pairs on v5e, which itself beat the stable
+     two-operand sort ~4×.  When ``log2(T+1)+log2(N) > 31`` (huge scenes)
+     it falls back to a two-operand (tile, rank) lexicographic sort;
   4. per-tile segments are located with ``searchsorted`` and materialized as a
      fixed-capacity gather table [num_tiles, K] + validity mask (per-tile
      overflow beyond K is likewise counted).
 
-The gather table indexes into the *original (unsorted)* per-Gaussian
-attribute rows — consumers gather once with it and never permute the [N]
-arrays into depth order.  That keeps the backward free of permutation
-scatters: the only reverse-mode hop is the table gather's VJP (XLA
-scatter-add, or the sort-based segment reduction in ``pallas_blend``).
+The gather table holds DEPTH RANKS: it indexes into depth-sorted attribute
+rows.  Consumers permute the [N] attribute rows into depth order once
+(``permute_rows`` — an O(N) row gather whose custom VJP is the inverse
+gather, never a scatter; N ≪ pairs) and then gather with the table.
+Recovering original row ids per pair instead would cost an elementwise
+rank→row lookup over the pair list — measured 11.7 ms at 1.36M pairs on
+v5e (4-byte random gathers are per-element latency-bound), vs ~0.1 ms for
+the row permute.
 """
 
 from __future__ import annotations
@@ -50,14 +53,37 @@ SLAB_GROUP = 8
 
 
 class TileBins(NamedTuple):
-    order: jnp.ndarray        # [N] depth-sort permutation (into original rows)
-    gather: jnp.ndarray       # [T, K] indices into ORIGINAL (unsorted) rows
+    order: jnp.ndarray        # [N] depth-sort permutation: order[r] = row of rank r
+    rank: jnp.ndarray         # [N] inverse permutation: rank[i] = depth rank of row i
+    gather: jnp.ndarray       # [T, K] DEPTH RANKS (indices into depth-sorted rows)
     mask: jnp.ndarray         # [T, K] bool validity
     counts: jnp.ndarray       # [T] number of gaussians binned per tile (pre-clip)
     dup_overflow: jnp.ndarray   # scalar: tiles lost to the per-gaussian cap
     tile_overflow: jnp.ndarray  # scalar: pairs lost to the per-tile cap
     tiles_x: int
     tiles_y: int
+
+
+@jax.custom_vjp
+def permute_rows(x: jnp.ndarray, order: jnp.ndarray,
+                 inv_order: jnp.ndarray) -> jnp.ndarray:
+    """``x[order]`` with the VJP expressed as the INVERSE gather
+    ``g[inv_order]`` instead of XLA's scatter-add (exact because ``order``
+    is a permutation; scatters are row-latency-bound on TPU).  Consumers
+    use this to move attribute rows into depth order before gathering with
+    the rank-space tile tables."""
+    return x[order]
+
+
+def _permute_rows_fwd(x, order, inv_order):
+    return x[order], inv_order
+
+
+def _permute_rows_bwd(res, g):
+    return g[res], None, None
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def num_tiles(height: int, width: int) -> tuple[int, int]:
@@ -225,11 +251,10 @@ DUP_TAILS: tuple[tuple[int, int], ...] = ((8192, 32), (512, 96))
 
 
 def _tail_bucket(kept, tile_id, inv_rank, n, start, budget, width, t_total):
-    """Pair keys/vals for compacted tile slots [start, start+width) of up to
-    ``budget`` gaussians with kept > start.  Returns (keys, ranks, vals, lost)
+    """Pair keys/ranks for compacted tile slots [start, start+width) of up to
+    ``budget`` gaussians with kept > start.  Returns (keys, ranks, lost)
     where ``lost`` counts pairs of qualifying gaussians beyond the budget.
-    Rows are ORIGINAL (unsorted); members are prioritized near-camera-first
-    by their depth rank."""
+    Members are prioritized near-camera-first by their depth rank."""
     flag = kept > start
     excess = jnp.clip(kept - start, 0, width)
     # Members first, nearest first; sentinel n sorts all non-members last.
@@ -251,8 +276,7 @@ def _tail_bucket(kept, tile_id, inv_rank, n, start, budget, width, t_total):
     keys = jnp.where(live, tiles, t_total).astype(jnp.int32).ravel()
     ranks = jnp.broadcast_to(
         jnp.where(valid, member[:budget], 0)[:, None], tiles.shape).ravel()
-    vals = jnp.broadcast_to(sel_safe[:, None], tiles.shape).ravel()
-    return keys, ranks, vals, lost
+    return keys, ranks, lost
 
 
 def bin_gaussians(proj: Projected, height: int, width: int,
@@ -321,12 +345,10 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     keys = jnp.where(live, tile_id[:, :max_dup],
                      t_total).astype(jnp.int32).ravel()   # [N*D]
     ranks = jnp.broadcast_to(inv_rank[:, None], (n, max_dup)).ravel()
-    vals = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_dup)).ravel()
 
     # Tail buckets: big gaussians emit their compacted tiles beyond max_dup
     # through small extra pair lists (see DUP_TAILS) instead of dropping them.
-    key_parts, rank_parts, val_parts = [keys], [ranks], [vals]
+    key_parts, rank_parts = [keys], [ranks]
     start = max_dup
     tail_lost = jnp.int32(0)
     for budget, width in dup_tails:
@@ -334,16 +356,14 @@ def bin_gaussians(proj: Projected, height: int, width: int,
         budget = min(budget, n)
         if width <= 0 or budget <= 0:
             continue
-        tk, tr, tv, lost = _tail_bucket(kept, tile_id, inv_rank, n, start,
-                                        budget, width, t_total)
+        tk, tr, lost = _tail_bucket(kept, tile_id, inv_rank, n, start,
+                                    budget, width, t_total)
         key_parts.append(tk)
         rank_parts.append(tr)
-        val_parts.append(tv)
         tail_lost = tail_lost + lost
         start += width
     keys = jnp.concatenate(key_parts)
     ranks = jnp.concatenate(rank_parts)
-    vals = jnp.concatenate(val_parts)
     # Lost work: survivors past the covered slot range, bucket-budget
     # overruns, and rect positions never evaluated (coverage beyond the
     # overscan window).
@@ -352,20 +372,26 @@ def bin_gaussians(proj: Projected, height: int, width: int,
 
     rank_bits = max(1, (n - 1).bit_length())
     if rank_bits + (t_total + 1).bit_length() <= 31:
-        # Packed keys are unique ((tile, rank) pairs are), so an unstable
-        # sort fully determines the order and the values ride along.
+        # Packed keys are unique ((tile, rank) pairs are), so a SINGLE
+        # operand fully determines the order — the rank rides the low bits
+        # as both sort tiebreak and carried value (~0.75 ms cheaper than a
+        # two-operand sort at 1.36M pairs).
         packed = (keys << rank_bits) | ranks
-        sorted_packed, sorted_vals = jax.lax.sort((packed, vals), num_keys=1,
-                                                  is_stable=False)
-        sorted_keys = sorted_packed >> rank_bits
+        sorted_vals = jax.lax.sort((packed,), num_keys=1,
+                                   is_stable=False)[0]
+        boundaries = jnp.searchsorted(
+            sorted_vals,
+            jnp.arange(t_total + 1, dtype=jnp.int32) << rank_bits)
+        # Ranks unpack AFTER the [T, K] table gather (393k elements instead
+        # of the full pair list).
+        extract = lambda table: table & ((1 << rank_bits) - 1)
     else:
-        # Lexicographic (tile, depth-rank); original row follows its pair.
-        sorted_keys, _, sorted_vals = jax.lax.sort((keys, ranks, vals),
-                                                   num_keys=2,
-                                                   is_stable=False)
-
-    boundaries = jnp.searchsorted(sorted_keys,
-                                  jnp.arange(t_total + 1, dtype=jnp.int32))
+        # Lexicographic (tile, depth-rank); the rank is key AND value.
+        sorted_keys, sorted_vals = jax.lax.sort((keys, ranks), num_keys=2,
+                                                is_stable=False)
+        boundaries = jnp.searchsorted(
+            sorted_keys, jnp.arange(t_total + 1, dtype=jnp.int32))
+        extract = lambda table: table
     starts = boundaries[:-1]                            # [T]
     counts = boundaries[1:] - starts
     tile_overflow = jnp.sum(jnp.maximum(counts - tile_capacity, 0))
@@ -384,8 +410,9 @@ def bin_gaussians(proj: Projected, height: int, width: int,
             lambda s: jax.lax.dynamic_slice(
                 padded, (s,), (tile_capacity,)))(starts)
     mask = k[None, :] < jnp.minimum(counts, tile_capacity)[:, None]
-    gather = jnp.where(mask, gather, 0)
+    gather = jnp.where(mask, extract(gather), 0)
 
-    return TileBins(order=order, gather=gather, mask=mask, counts=counts,
-                    dup_overflow=dup_overflow, tile_overflow=tile_overflow,
+    return TileBins(order=order, rank=inv_rank, gather=gather, mask=mask,
+                    counts=counts, dup_overflow=dup_overflow,
+                    tile_overflow=tile_overflow,
                     tiles_x=tiles_x, tiles_y=tiles_y)

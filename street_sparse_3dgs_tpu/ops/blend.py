@@ -20,13 +20,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .binning import TILE, TileBins
+from .binning import TILE, TileBins, permute_rows
 from .oracle import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 
 def blend_tiles(
     bins: TileBins,
-    mean2d: jnp.ndarray,     # [N, 2] original rows (tables bake depth order)
+    mean2d: jnp.ndarray,     # [N, 2] original rows
     conic: jnp.ndarray,      # [N, 3]
     color: jnp.ndarray,      # [N, 3]
     opacity: jnp.ndarray,    # [N]
@@ -37,6 +37,10 @@ def blend_tiles(
     tiles_chunk: int = 16,
 ):
     """Returns (image [3,H,W], invdepth [1,H,W], alpha [H,W])."""
+    # The tile tables hold depth RANKS — move rows into depth order first.
+    mean2d, conic, color, opacity, inv_depth = (
+        permute_rows(v, bins.order, bins.rank)
+        for v in (mean2d, conic, color, opacity, inv_depth))
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
     t_total = tiles_x * tiles_y
     k_cap = bins.gather.shape[1]

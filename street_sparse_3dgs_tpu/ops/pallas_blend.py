@@ -464,9 +464,15 @@ _gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
 
 
 def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
-                      inv_depth, dtype=jnp.float32):
-    """[N,·] depth-sorted attributes + [T,K] gather table → packed
-    channel-major [T, 16, K] kernel input (mask in channel MK).
+                      inv_depth, dtype=jnp.float32, order=None, rank=None):
+    """[N,·] attributes + [T,K] gather table → packed channel-major
+    [T, 16, K] kernel input (mask in channel MK).
+
+    The binning tables hold depth RANKS, so when ``order``/``rank`` are
+    given (``TileBins.order`` / ``TileBins.rank``) the packed [N, 10] rows
+    are permuted into depth order first — ONE cheap row permute
+    (``permute_rows``, inverse-gather VJP) instead of an elementwise
+    rank→row translation of the whole pair list.
 
     Only the 10 real channels ride the gather (and therefore its sort-based
     VJP — 12 sort operands instead of 18); the mask and lane padding are
@@ -477,6 +483,9 @@ def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
     attrs_n = jnp.concatenate([
         mean2d, conic, color, opacity[:, None], inv_depth[:, None]],
         axis=1).astype(dtype)                             # [N, 10]
+    if order is not None:
+        from .binning import permute_rows
+        attrs_n = permute_rows(attrs_n, order, rank)
     g10 = _gather_pack(attrs_n, gather)                   # [T, 10, K]
     t, _, k = g10.shape
     return jnp.concatenate(
@@ -486,7 +495,7 @@ def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
 
 def blend_tiles_pallas(
     bins,
-    mean2d: jnp.ndarray,     # [N, 2] original rows (tables bake depth order)
+    mean2d: jnp.ndarray,     # [N, 2] original rows (permuted internally)
     conic: jnp.ndarray,      # [N, 3]
     color: jnp.ndarray,      # [N, 3]
     opacity: jnp.ndarray,    # [N]
@@ -512,7 +521,8 @@ def blend_tiles_pallas(
     # gathers stacked on the channel axis (measured 27→15 ms fwd at
     # 512²/32k on v5e).
     attrs = pack_gather_attrs(bins.gather, bins.mask, mean2d, conic, color,
-                              opacity, inv_depth, dtype=attr_dtype)
+                              opacity, inv_depth, dtype=attr_dtype,
+                              order=bins.order, rank=bins.rank)
 
     interp = _interpret_default() if interpret is None else interpret
     tile0 = jnp.zeros((1, 1), jnp.int32)

@@ -69,10 +69,11 @@ def rasterize_tile_sharded(
 
     from ..ops.pallas_blend import pack_gather_attrs
 
-    # Gather tables hold original-row indices — no depth permutation needed.
+    # Gather tables hold depth ranks — pack_gather_attrs permutes the rows.
     attrs = pack_gather_attrs(g, m > 0.5, proj.mean2d, proj.conic,
-                              proj.color, proj.opacity,
-                              proj.inv_depth)           # [T_pad, 16, K]
+                              proj.color, proj.opacity, proj.inv_depth,
+                              order=bins.order,
+                              rank=bins.rank)           # [T_pad, 16, K]
 
     interp = _interpret_default() if interpret is None else interpret
     t_local = (t_total + pad_t) // n_shards

@@ -87,7 +87,7 @@ def rasterize_batch_tile_sharded(
         bins = bin_gaussians(proj, h, w, cfg.max_dup, cfg.tile_capacity)
         attrs_views.append(pack_gather_attrs(
             bins.gather, bins.mask, proj.mean2d, proj.conic, proj.color,
-            proj.opacity, proj.inv_depth))
+            proj.opacity, proj.inv_depth, order=bins.order, rank=bins.rank))
         projs.append(proj)
         bins_list.append(bins)
 
