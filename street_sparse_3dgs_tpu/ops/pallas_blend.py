@@ -48,9 +48,13 @@ P = TILE * TILE          # 256 pixels per tile
 KB = 128                 # gaussian block width (lanes)
 LOG_EPS = math.log(T_EPS)
 
-# Attribute channel indices in the packed [T, 16, K] input.
-MX, MY, CA, CB, CC, CR, CG, CB_, OP, ID, MK = range(11)
-N_CH = 16
+# Attribute channel indices in the packed [T, 10, K] input.  Slot validity
+# is NOT a channel: it is exactly ``slot index < per-tile count``, and the
+# counts already sit in SMEM for the block-skip — so the payload carries
+# only real attributes (no mask plane, no sublane zero-padding; Mosaic
+# accepts a 10-sublane block because it equals the array dimension).
+MX, MY, CA, CB, CC, CR, CG, CB_, OP, ID = range(10)
+N_CH = 10
 # Output/state rows in the packed [T, 8, P] output.
 OR, OG, OB, OI, OA, OT, ON = range(7)
 N_OUT = 8
@@ -101,10 +105,14 @@ def _pixel_coords(tiles_x: int, t_mod: int, tile0_ref):
     return px, py
 
 
-def _alpha_block(attrs_ref, sl, px, py):
+def _alpha_block(attrs_ref, sl, px, py, nvalid):
     """[P, KB] alpha (+aux terms) for one gaussian block vs the pixels.
     Attributes may be stored bf16 (``attr_dtype`` mode) — all math here is
     f32 regardless; only the at-rest payload precision changes.
+
+    ``nvalid`` = per-tile count minus the block's base slot: lanes at or
+    past it are capacity padding (garbage rows) and are masked out — the
+    payload carries no mask plane.
 
     ``expp`` is exp(min(power, 0)): identical to exp(power) on every slot
     that can contribute (ok requires power ≤ 0), overflow-safe on the rest,
@@ -118,7 +126,8 @@ def _alpha_block(attrs_ref, sl, px, py):
     expp = jnp.exp(jnp.minimum(power, 0.0))
     raw = ch(OP) * expp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & (ch(MK) > 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & (lane < nvalid)
     return jnp.where(ok, alpha, 0.0), ok, raw, expp, dx, dy, a, b, c
 
 
@@ -142,7 +151,8 @@ def _make_fwd_kernel(tiles_x: int, t_mod: int):
 
             def live(_):
                 sl = pl.ds(kb * KB, KB)
-                alpha, *_ = _alpha_block(attrs_ref, sl, px, py)
+                alpha, *_ = _alpha_block(attrs_ref, sl, px, py,
+                                         count - kb * KB)
                 log_om = jnp.log1p(-alpha)             # [P, KB]
                 cum = _tri_dot(log_om, tri)
                 # ``cum`` is an inclusive prefix of non-positive terms, so
@@ -207,11 +217,13 @@ def _make_fwd_kernel(tiles_x: int, t_mod: int):
 
 
 def _make_bwd_kernel(tiles_x: int, t_mod: int):
-    def kernel(tile0_ref, attrs_ref, bg_ref, saved_ref, g_ref, d_ref):
+    def kernel(tile0_ref, counts_ref, attrs_ref, bg_ref, saved_ref, g_ref,
+               d_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
         px, py = _pixel_coords(tiles_x, t_mod, tile0_ref)
         tri_suf = _tri(True)
+        count = counts_ref[pl.program_id(0), 0]
 
         row = lambda ref, i: ref[0, i, :][:, None]     # [P, 1]
         g_r, g_g, g_b = row(g_ref, OR), row(g_ref, OG), row(g_ref, OB)
@@ -231,7 +243,7 @@ def _make_bwd_kernel(tiles_x: int, t_mod: int):
             def live(_):
                 sl = pl.ds(base, KB)
                 alpha, ok, raw, expp, dx, dy, a, b, c = _alpha_block(
-                    attrs_ref, sl, px, py)
+                    attrs_ref, sl, px, py, count - base)
                 kidx = (base + jax.lax.broadcasted_iota(
                     jnp.int32, (P, KB), 1)).astype(jnp.float32)
                 include = kidx < ncontrib
@@ -274,11 +286,9 @@ def _make_bwd_kernel(tiles_x: int, t_mod: int):
                 # wherever g_alpha ≠ 0, so the fwd's expp is exact here).
                 d_op = col(expp * g_alpha)
                 d_id = col(w * g_ivd)
-                zero = jnp.zeros_like(d_mx)
                 block = jnp.concatenate(
-                    [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op,
-                     d_id, zero, zero, zero, zero, zero, zero],
-                    axis=0)                            # [16, KB]
+                    [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op, d_id],
+                    axis=0)                            # [10, KB]
                 d_ref[0, :, sl] = block.astype(d_ref.dtype)
 
                 return (tlog_after - jnp.sum(log_om, axis=1, keepdims=True),
@@ -342,23 +352,24 @@ def _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, counts, attrs, bg):
         out_shape=jax.ShapeDtypeStruct((t, N_OUT, P), jnp.float32),
         interpret=interpret,
     )(tile0, counts, attrs, bg)
-    return out, (tile0, attrs, bg, out)
+    return out, (tile0, counts, attrs, bg, out)
 
 
 def _blend_packed_bwd(interpret, tiles_x, t_mod, res, g_out):
-    tile0, attrs, bg, saved = res
+    tile0, counts, attrs, bg, saved = res
     t, _, k_cap = attrs.shape
-    tile0_spec, _, attrs_spec, bg_spec, out_spec = _specs(
-        k_cap, bg.shape[0] != 1)
+    tile0_spec, counts_spec, attrs_spec, bg_spec, out_spec = _specs(
+        k_cap, bg.shape[0] != 1, t)
     d_attrs = pl.pallas_call(
         _make_bwd_kernel(tiles_x, t_mod), grid=(t,),
-        in_specs=[tile0_spec, attrs_spec, bg_spec, out_spec, out_spec],
+        in_specs=[tile0_spec, counts_spec, attrs_spec, bg_spec, out_spec,
+                  out_spec],
         out_specs=attrs_spec,
         # Grads at the attrs' own precision: in bf16 mode they ride the
         # sort-based gather VJP at half the payload width.
         out_shape=jax.ShapeDtypeStruct((t, N_CH, k_cap), attrs.dtype),
         interpret=interpret,
-    )(tile0, attrs, bg, saved, g_out)
+    )(tile0, counts, attrs, bg, saved, g_out)
     # Background gradient (outside the kernel; tiny reduction).
     t_final = jnp.exp(saved[:, OT, :])                 # [T, P]
     per_tile = jnp.stack([jnp.sum(t_final * g_out[:, i, :], axis=1)
@@ -439,21 +450,24 @@ def _gather_pack_bwd(res, d):
     # pairs with id < r and before any pair with id == r.
     keys = jnp.concatenate(
         [ids * 2 + 1, jnp.arange(nq, dtype=jnp.int32) * 2])
-    tag = jnp.concatenate(
-        [jnp.full((p,), jnp.int32(1) << 30),
-         jnp.arange(nq, dtype=jnp.int32)])
     zq = jnp.zeros((nq,), d.dtype)
-    ops = (keys, tag) + tuple(
+    ops = (keys,) + tuple(
         jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
     out = jax.lax.sort(ops, num_keys=1, is_stable=False)
     # Payload channels sort at their own width (half traffic in bf16
     # mode); the running sum is always f32 -- a low-precision prefix over
     # 400k+ rows would drown the per-row differences.
-    rows = jnp.stack(out[2:], axis=0).astype(jnp.float32)  # [C, P+nq]
+    rows = jnp.stack(out[1:], axis=0).astype(jnp.float32)  # [C, P+nq]
     s = _blocked_cumsum_cm(rows)                          # inclusive
-    # Query positions, ordered by r (queries have tag r < 2^30).
+    # Query positions, ordered by r: re-key the sorted keys by
+    # (parity, value>>1) so the nq even (query) keys -- unique, ascending
+    # in r -- sort to the front carrying their position; duplicate pair
+    # re-keys land behind them in whatever order.  This keeps the parity
+    # tag OUT of the main value sort (11 operands instead of 12).
+    sk = out[0]
     pos = jax.lax.sort(
-        (out[1], jnp.arange(p + nq, dtype=jnp.int32)),
+        (((sk & 1) << 30) | (sk >> 1),
+         jnp.arange(p + nq, dtype=jnp.int32)),
         num_keys=1, is_stable=False)[1][:nq]
     b = jnp.transpose(s)[pos]                             # [nq, C]
     # s at query r = sum of pairs with id < r (query rows are zero).
@@ -463,10 +477,10 @@ def _gather_pack_bwd(res, d):
 _gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
 
 
-def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
+def pack_gather_attrs(gather, mean2d, conic, color, opacity,
                       inv_depth, dtype=jnp.float32, order=None, rank=None):
     """[N,·] attributes + [T,K] gather table → packed channel-major
-    [T, 16, K] kernel input (mask in channel MK).
+    [T, 10, K] kernel input.
 
     The binning tables hold depth RANKS, so when ``order``/``rank`` are
     given (``TileBins.order`` / ``TileBins.rank``) the packed [N, 10] rows
@@ -474,10 +488,11 @@ def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
     (``permute_rows``, inverse-gather VJP) instead of an elementwise
     rank→row translation of the whole pair list.
 
-    Only the 10 real channels ride the gather (and therefore its sort-based
-    VJP — 12 sort operands instead of 18); the mask and lane padding are
-    concatenated afterwards, so their cotangents never enter the backward
-    merge sort.  ``dtype=bfloat16`` halves the gather, kernel-payload and
+    No mask plane and no sublane padding: slot validity is
+    ``slot < per-tile count``, which the kernels derive from the SMEM
+    counts they already hold for the block-skip.  Only the 10 real
+    channels therefore ride the gather AND its sort-based VJP.
+    ``dtype=bfloat16`` halves the gather, kernel-payload and
     backward-sort traffic; blending still accumulates in f32
     (``_alpha_block`` upcasts on load)."""
     attrs_n = jnp.concatenate([
@@ -486,11 +501,7 @@ def pack_gather_attrs(gather, mask, mean2d, conic, color, opacity,
     if order is not None:
         from .binning import permute_rows
         attrs_n = permute_rows(attrs_n, order, rank)
-    g10 = _gather_pack(attrs_n, gather)                   # [T, 10, K]
-    t, _, k = g10.shape
-    return jnp.concatenate(
-        [g10, mask[:, None, :].astype(g10.dtype),
-         jnp.zeros((t, N_CH - 11, k), g10.dtype)], axis=1)
+    return _gather_pack(attrs_n, gather)                  # [T, 10, K]
 
 
 def blend_tiles_pallas(
@@ -520,7 +531,7 @@ def blend_tiles_pallas(
     # transpose — an order of magnitude cheaper than 11 separate [T,K]
     # gathers stacked on the channel axis (measured 27→15 ms fwd at
     # 512²/32k on v5e).
-    attrs = pack_gather_attrs(bins.gather, bins.mask, mean2d, conic, color,
+    attrs = pack_gather_attrs(bins.gather, mean2d, conic, color,
                               opacity, inv_depth, dtype=attr_dtype,
                               order=bins.order, rank=bins.rank)
 

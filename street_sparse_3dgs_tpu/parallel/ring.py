@@ -40,7 +40,7 @@ from jax import shard_map
 from ..core.camera import CameraParams
 from ..ops.binning import TILE, num_tiles, tile_rect
 from ..ops.pallas_blend import (_blend_packed, _interpret_default,
-                                MK, N_CH, OA, OB, OI, OR)
+                                N_CH, OA, OB, OI, OR)
 from ..ops.preprocess import project_gaussians
 from ..ops.rasterize import RasterConfig
 
@@ -171,8 +171,7 @@ def rasterize_ring_staged(
         # ---- Pass B: circulate packed attributes, fill the tables ----
         attrs_blk = jnp.concatenate([
             proj.mean2d, proj.conic, proj.color, proj.opacity[:, None],
-            proj.inv_depth[:, None],
-            jnp.zeros((blk, N_CH - 10), proj.mean2d.dtype)], axis=1)
+            proj.inv_depth[:, None]], axis=1)        # [blk, N_CH]
 
         table_nd = jax.lax.stop_gradient(table)
 
@@ -180,8 +179,8 @@ def rasterize_ring_staged(
             attrs_v, vbase, acc = carry
             local = table_nd - vbase
             sel = (local >= 0) & (local < blk) & tmask
-            rows = attrs_v[jnp.clip(local, 0, blk - 1)]   # [T_l, K, 16]
-            rows = jnp.swapaxes(rows, 1, 2)               # [T_l, 16, K]
+            rows = attrs_v[jnp.clip(local, 0, blk - 1)]   # [T_l, K, 10]
+            rows = jnp.swapaxes(rows, 1, 2)               # [T_l, 10, K]
             acc = jnp.where(sel[:, None, :], rows, acc)
             attrs_v = jax.lax.ppermute(attrs_v, axis, perm)
             vbase = jax.lax.ppermute(vbase, axis, perm)
@@ -190,7 +189,8 @@ def rasterize_ring_staged(
         acc0 = jnp.zeros((t_local, N_CH, k_cap), attrs_blk.dtype)
         (_, _, attrs_t), _ = jax.lax.scan(
             stage_b, (attrs_blk, base, acc0), None, length=n_dev)
-        attrs_t = attrs_t.at[:, MK, :].set(tmask.astype(attrs_t.dtype))
+        # Slot validity is k < count in the kernel (tmask ≡ that rule);
+        # no mask plane to set.
 
         out = _blend_packed(interp, tiles_x, 0, t0.reshape(1, 1),
                             counts.astype(jnp.int32)[:, None], attrs_t,

@@ -61,8 +61,6 @@ def rasterize_tile_sharded(
     pad_t = (-t_total) % n_shards
     g = jnp.concatenate(
         [bins.gather, jnp.zeros((pad_t, k_cap), bins.gather.dtype)], 0)
-    m = jnp.concatenate(
-        [bins.mask, jnp.zeros((pad_t, k_cap), bool)], 0).astype(jnp.float32)
     counts = jnp.concatenate(
         [bins.counts.astype(jnp.int32),
          jnp.zeros((pad_t,), jnp.int32)])[:, None]       # [T_pad, 1]
@@ -70,10 +68,10 @@ def rasterize_tile_sharded(
     from ..ops.pallas_blend import pack_gather_attrs
 
     # Gather tables hold depth ranks — pack_gather_attrs permutes the rows.
-    attrs = pack_gather_attrs(g, m > 0.5, proj.mean2d, proj.conic,
+    attrs = pack_gather_attrs(g, proj.mean2d, proj.conic,
                               proj.color, proj.opacity, proj.inv_depth,
                               order=bins.order,
-                              rank=bins.rank)           # [T_pad, 16, K]
+                              rank=bins.rank)           # [T_pad, 10, K]
 
     interp = _interpret_default() if interpret is None else interpret
     t_local = (t_total + pad_t) // n_shards

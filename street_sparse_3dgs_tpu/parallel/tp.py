@@ -86,7 +86,7 @@ def rasterize_batch_tile_sharded(
             proj = proj._replace(mean2d=proj.mean2d + mean2d_residual[i])
         bins = bin_gaussians(proj, h, w, cfg.max_dup, cfg.tile_capacity)
         attrs_views.append(pack_gather_attrs(
-            bins.gather, bins.mask, proj.mean2d, proj.conic, proj.color,
+            bins.gather, proj.mean2d, proj.conic, proj.color,
             proj.opacity, proj.inv_depth, order=bins.order, rank=bins.rank))
         projs.append(proj)
         bins_list.append(bins)

@@ -137,6 +137,43 @@ class TestOverflowAccounting:
         assert out.shape == (3, 48, 64)
 
 
+class TestRankTables:
+    def test_gather_ranks_depth_sorted_within_tiles(self, scene):
+        """The tile tables hold depth RANKS (the pair-sort key's low bits):
+        within every tile segment the masked ranks must be strictly
+        increasing (front-to-back blend order), in range, and consistent
+        with ``order``/``rank`` being inverse permutations.  Pins the
+        single-operand packed sort's rank extraction."""
+        from street_sparse_3dgs_tpu.ops.binning import bin_gaussians
+        from street_sparse_3dgs_tpu.ops.preprocess import project_gaussians
+
+        cam = scene.cameras[0]
+        proj = project_gaussians(scene.means3d, scene.scales, scene.quats,
+                                 scene.opacities, scene.sh_coeffs, cam, 3,
+                                 1.0, None)
+        bins = bin_gaussians(proj, cam.height, cam.width, max_dup=64,
+                             tile_capacity=512)
+        n = scene.means3d.shape[0]
+        order = np.asarray(bins.order)
+        rank = np.asarray(bins.rank)
+        assert (order[rank] == np.arange(n)).all()
+        assert (rank[order] == np.arange(n)).all()
+        g = np.asarray(bins.gather)
+        m = np.asarray(bins.mask)
+        assert ((g >= 0) & (g < n)).all()
+        seen_any = False
+        for t in range(g.shape[0]):
+            r = g[t][m[t]]
+            if r.size > 1:
+                seen_any = True
+                assert (np.diff(r) > 0).all(), t
+        assert seen_any
+        # Masked ranks must reference a gaussian the depth sort kept in
+        # front of the culled (depth=inf) block.
+        n_valid = int(np.asarray(proj.valid).sum())
+        assert (g[m] < n_valid).all()
+
+
 class TestSlabGather:
     def test_pallas_slab_gather_matches_slices(self):
         """The TPU slab-DMA gather table builder (interpret mode here) must
