@@ -53,8 +53,9 @@ SLAB_GROUP = 8
 
 
 class TileBins(NamedTuple):
-    order: jnp.ndarray        # [N] depth-sort permutation: order[r] = row of rank r
-    rank: jnp.ndarray         # [N] inverse permutation: rank[i] = depth rank of row i
+    order: jnp.ndarray        # [M] depth-sort permutation: order[r] = row of rank r
+    rank: jnp.ndarray         # [N] inverse map: rank[i] = depth rank of row i
+    #                           (== M for rows dropped by visible compaction)
     gather: jnp.ndarray       # [T, K] DEPTH RANKS (indices into depth-sorted rows)
     mask: jnp.ndarray         # [T, K] bool validity
     counts: jnp.ndarray       # [T] number of gaussians binned per tile (pre-clip)
@@ -62,6 +63,7 @@ class TileBins(NamedTuple):
     tile_overflow: jnp.ndarray  # scalar: pairs lost to the per-tile cap
     tiles_x: int
     tiles_y: int
+    vis_overflow: jnp.ndarray = 0  # visible rows dropped past vis_capacity
 
 
 @jax.custom_vjp
@@ -71,7 +73,12 @@ def permute_rows(x: jnp.ndarray, order: jnp.ndarray,
     ``g[inv_order]`` instead of XLA's scatter-add (exact because ``order``
     is a permutation; scatters are row-latency-bound on TPU).  Consumers
     use this to move attribute rows into depth order before gathering with
-    the rank-space tile tables."""
+    the rank-space tile tables.
+
+    ``order`` may be a SLICE of a permutation (visible compaction:
+    len(order) = V ≤ N): rows not selected must carry
+    ``inv_order == len(order)``, which the VJP maps to an appended zero
+    row — their cotangent is exactly zero (they were never rendered)."""
     return x[order]
 
 
@@ -80,7 +87,8 @@ def _permute_rows_fwd(x, order, inv_order):
 
 
 def _permute_rows_bwd(res, g):
-    return g[res], None, None
+    gpad = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)])
+    return gpad[res], None, None
 
 
 permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
@@ -281,7 +289,8 @@ def _tail_bucket(kept, tile_id, inv_rank, n, start, budget, width, t_total):
 
 def bin_gaussians(proj: Projected, height: int, width: int,
                   max_dup: int, tile_capacity: int,
-                  dup_tails: tuple[tuple[int, int], ...] = DUP_TAILS
+                  dup_tails: tuple[tuple[int, int], ...] = DUP_TAILS,
+                  vis_capacity: int | None = None,
                   ) -> TileBins:
     n = proj.depth.shape[0]
     tiles_x, tiles_y = num_tiles(height, width)
@@ -292,18 +301,54 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     # [N]-row gathers.  inv_rank[i] = depth position of row i (culled rows,
     # depth=inf, take the largest ranks).
     order = jnp.argsort(proj.depth)                    # stable; inf last
-    inv_rank = jax.lax.sort(
+    inv_rank_n = jax.lax.sort(
         (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
         is_stable=False)[1]
 
-    x0, y0, x1, y1 = tile_rect(proj.mean2d, proj.radius, tiles_x, tiles_y)
-    valid = proj.valid
+    if vis_capacity is not None and vis_capacity < n:
+        # Visible compaction: at street scale most rows are frustum-culled
+        # per view, yet the emission scan grid, the pair sort, and the
+        # packed-key rank width all pay for N.  Depth-sorted rows put the
+        # visible ones FIRST (culled depths are +inf), so slicing the
+        # nearest ``V = vis_capacity`` rows (a) shrinks every [·, S]
+        # emission array N→V, (b) keeps the single-operand packed pair
+        # sort alive at million-gaussian scenes (rank_bits = log2 V, not
+        # log2 N), and (c) makes ranks the IDENTITY (rows are already
+        # depth-ordered — the compaction gather subsumes the row permute).
+        # Visible rows past V — the FARTHEST — are dropped and counted
+        # (graceful, LOD-like degradation; never silent).
+        v = vis_capacity
+        sel = order[:v]
+        src = jax.lax.stop_gradient(jnp.concatenate([
+            proj.mean2d, proj.conic, proj.radius[:, None],
+            proj.opacity[:, None]], axis=1))           # [N, 7], one gather
+        rows = src[sel]
+        mean2d, conic = rows[:, 0:2], rows[:, 2:5]
+        radius, opacity = rows[:, 5], rows[:, 6]
+        n_valid = jnp.sum(proj.valid.astype(jnp.int32))
+        valid = jnp.arange(v, dtype=jnp.int32) < n_valid
+        vis_overflow = jnp.maximum(n_valid - v, 0)
+        inv_rank = jnp.arange(v, dtype=jnp.int32)      # identity in V-space
+        rank_out = jnp.minimum(inv_rank_n, v)          # dropped rows → V
+        order_out = sel
+        m = v
+    else:
+        mean2d, conic = proj.mean2d, proj.conic
+        radius, opacity = proj.radius, proj.opacity
+        valid = proj.valid
+        vis_overflow = jnp.int32(0)
+        inv_rank = inv_rank_n
+        rank_out, order_out = inv_rank_n, order
+        m = n
+
+    x0, y0, x1, y1 = tile_rect(mean2d, radius, tiles_x, tiles_y)
 
     nx = jnp.where(valid, x1 - x0, 0)
     ny = jnp.where(valid, y1 - y0, 0)
     coverage = nx * ny                                  # [N]
 
     scan = max_dup * DUP_OVERSCAN
+    n = m                                               # row count from here on
     slots = jnp.arange(scan, dtype=jnp.int32)           # [S]
     nx_safe = jnp.maximum(nx, 1)
     # slots // nx as float multiply-by-reciprocal: exact because
@@ -324,11 +369,11 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     # drop pairs whose best-possible alpha over the tile stays below the
     # blend's 1/255 skip threshold — image-identical by construction, and
     # it cuts per-tile occupancy (overflow pressure / needed capacity).
-    qmin = _tile_qmin(proj.mean2d, proj.conic, tile_x, tile_y)
+    qmin = _tile_qmin(mean2d, conic, tile_x, tile_y)
     # opac·exp(−qmin/2) ≥ αmin ⇔ qmin ≤ 2(log opac − log αmin): the log
     # runs once per gaussian instead of exp over the [N, S] scan grid.
     # Small margin (1−1e-3): per-pixel Q in the blend rounds differently.
-    opac = proj.opacity
+    opac = opacity
     qcap = 2.0 * (jnp.where(opac > 0.0, jnp.log(jnp.maximum(opac, 1e-30)),
                             -jnp.inf)
                   - jnp.log(ALPHA_MIN * (1.0 - 1e-3)))
@@ -412,7 +457,8 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     mask = k[None, :] < jnp.minimum(counts, tile_capacity)[:, None]
     gather = jnp.where(mask, extract(gather), 0)
 
-    return TileBins(order=order, rank=inv_rank, gather=gather, mask=mask,
+    return TileBins(order=order_out, rank=rank_out, gather=gather, mask=mask,
                     counts=counts, dup_overflow=dup_overflow,
                     tile_overflow=tile_overflow,
-                    tiles_x=tiles_x, tiles_y=tiles_y)
+                    tiles_x=tiles_x, tiles_y=tiles_y,
+                    vis_overflow=vis_overflow)

@@ -137,7 +137,7 @@ def _make_fwd_kernel(tiles_x: int, t_mod: int):
         n_blocks = k_cap // KB
         px, py = _pixel_coords(tiles_x, t_mod, tile0_ref)
         tri = _tri(False)
-        count = counts_ref[pl.program_id(0), 0]
+        count = counts_ref[0, pl.program_id(0)]
 
         def body(kb, carry):
             tlog, ncontrib, rgb, ivd, acc, alive = carry
@@ -223,7 +223,7 @@ def _make_bwd_kernel(tiles_x: int, t_mod: int):
         n_blocks = k_cap // KB
         px, py = _pixel_coords(tiles_x, t_mod, tile0_ref)
         tri_suf = _tri(True)
-        count = counts_ref[pl.program_id(0), 0]
+        count = counts_ref[0, pl.program_id(0)]
 
         row = lambda ref, i: ref[0, i, :][:, None]     # [P, 1]
         g_r, g_g, g_b = row(g_ref, OR), row(g_ref, OG), row(g_ref, OB)
@@ -314,9 +314,11 @@ def _interpret_default() -> bool:
 def _specs(k_cap, per_tile_bg: bool, t: int = 1):
     tile0_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
-    # Whole [T, 1] array resident in SMEM (4 B/tile); per-tile (1, 1)
-    # blocks would violate the lowering's (8, 128) divisibility rule.
-    counts_spec = pl.BlockSpec((t, 1), lambda i: (0, 0),
+    # Whole [1, T] array resident in SMEM (per-tile (1, 1) blocks would
+    # violate the lowering's (8, 128) divisibility rule, and a [T, 1] shape
+    # pads every ROW to 512 B — 4 MB of SMEM at 8160 tiles, over the 1 MB
+    # budget; one row of T lanes pads once).
+    counts_spec = pl.BlockSpec((1, t), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)
     attrs_spec = pl.BlockSpec((1, N_CH, k_cap), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -333,7 +335,7 @@ def _specs(k_cap, per_tile_bg: bool, t: int = 1):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _blend_packed(interpret, tiles_x, t_mod, tile0, counts, attrs, bg):
-    """``counts`` is the per-tile binned pair count [T, 1] int32 (pre-clip;
+    """``counts`` is the per-tile binned pair count [1, T] int32 (pre-clip;
     padded tiles carry 0) — a forward-only block-skip hint, never touched by
     gradients."""
     out, _ = _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, counts,
@@ -538,7 +540,7 @@ def blend_tiles_pallas(
     interp = _interpret_default() if interpret is None else interpret
     tile0 = jnp.zeros((1, 1), jnp.int32)
     out = _blend_packed(interp, tiles_x, 0, tile0,
-                        bins.counts.astype(jnp.int32)[:, None], attrs,
+                        bins.counts.astype(jnp.int32)[None, :], attrs,
                         bg[None, :])                    # [T, 8, P]
 
     def to_image(flat, channels):

@@ -46,6 +46,12 @@ class RasterConfig:
     # ≥512-wide resolutions (fine ≤256).  Kept only as a documented
     # negative result; default f32 is both faster and exact.
     attr_dtype: str = "f32"      # "f32" | "bf16" (pallas method only)
+    # Visible compaction: bin only the nearest ``vis_capacity`` in-frustum
+    # gaussians (None = all N).  At street scale (millions of rows, most
+    # culled per view) this shrinks the binning scan grid and keeps the
+    # single-operand packed pair sort in range; visible rows beyond the
+    # cap — the farthest — are dropped and counted (``vis_overflow``).
+    vis_capacity: int | None = None
 
 
 def rasterize(
@@ -78,21 +84,25 @@ def rasterize(
             proj, h, w, bg, tile_grid=num_tiles(h, w))
         out["dup_overflow"] = jnp.int32(0)
         out["tile_overflow"] = jnp.int32(0)
+        out["vis_overflow"] = jnp.int32(0)
     elif config.method == "tiled":
         # The gather tables index original rows (depth order is baked into
         # each tile's slot order), so no [N]-permutation happens here — the
         # backward stays free of permutation scatters.
-        bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity)
+        bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity,
+                             vis_capacity=config.vis_capacity)
         image, invdepth, alpha = blend_tiles(
             bins, proj.mean2d, proj.conic, proj.color,
             proj.opacity, proj.inv_depth, h, w, bg,
             tiles_chunk=config.tiles_chunk)
         out["dup_overflow"] = bins.dup_overflow
         out["tile_overflow"] = bins.tile_overflow
+        out["vis_overflow"] = bins.vis_overflow
     elif config.method == "pallas":
         from .pallas_blend import blend_tiles_pallas
 
-        bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity)
+        bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity,
+                             vis_capacity=config.vis_capacity)
         image, invdepth, alpha = blend_tiles_pallas(
             bins, proj.mean2d, proj.conic, proj.color,
             proj.opacity, proj.inv_depth, h, w, bg,
@@ -100,6 +110,7 @@ def rasterize(
             else jnp.float32)
         out["dup_overflow"] = bins.dup_overflow
         out["tile_overflow"] = bins.tile_overflow
+        out["vis_overflow"] = bins.vis_overflow
     else:
         raise ValueError(f"unknown raster method {config.method!r}")
 

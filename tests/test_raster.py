@@ -1,6 +1,8 @@
 """Rasterizer correctness: tiled production path vs dense oracle, forward and
 gradients (SURVEY.md §4 consequence (a))."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -135,6 +137,55 @@ class TestOverflowAccounting:
 
         out = f(scene.means3d)
         assert out.shape == (3, 48, 64)
+
+
+class TestVisCapacity:
+    """Visible compaction (``RasterConfig.vis_capacity``): bin only the
+    nearest V in-frustum rows (street-scale: most of N is culled per view)."""
+
+    def test_roomy_cap_matches_uncapped(self, scene):
+        n = scene.means3d.shape[0]
+        cfg = dataclasses.replace(TILED, vis_capacity=n)  # cap == N
+        a, b = _render(scene, TILED), _render(scene, cfg)
+        assert int(b["vis_overflow"]) == 0
+        np.testing.assert_allclose(np.asarray(a["render"]),
+                                   np.asarray(b["render"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a["depth"]),
+                                   np.asarray(b["depth"]), atol=1e-6)
+
+    def test_roomy_cap_grads_match_oracle(self, scene):
+        probe = jax.random.normal(jax.random.PRNGKey(3), (3, 48, 64))
+        residual = jnp.zeros((scene.means3d.shape[0], 2))
+        args = (scene.means3d, scene.scales, scene.quats, scene.opacities,
+                scene.sh_coeffs, residual)
+        cfg = dataclasses.replace(TILED, vis_capacity=scene.means3d.shape[0])
+        g_oracle = jax.grad(TestGradientParity()._loss_fn(ORACLE, scene, probe),
+                            argnums=(0, 1, 2, 3, 4, 5))(*args)
+        g_cap = jax.grad(TestGradientParity()._loss_fn(cfg, scene, probe),
+                         argnums=(0, 1, 2, 3, 4, 5))(*args)
+        for name, a, b in zip(["means", "scales", "quats", "opac", "sh",
+                               "mean2d"], g_oracle, g_cap):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-5,
+                                       err_msg=f"grad mismatch: {name}")
+
+    def test_tight_cap_drops_farthest_and_counts(self, scene):
+        cfg = dataclasses.replace(TILED, vis_capacity=64)
+        out = _render(scene, cfg)
+        full = _render(scene, TILED)
+        n_vis = int(np.asarray(full["visibility"]).sum())
+        assert int(out["vis_overflow"]) == max(n_vis - 64, 0)
+        img = np.asarray(out["render"])
+        assert np.isfinite(img).all() and img.std() > 0.01
+        # Gradients through the capped render stay finite (dropped rows get
+        # exactly-zero cotangents via the padded permute_rows VJP).
+        probe = jnp.ones((3, 48, 64))
+        residual = jnp.zeros((scene.means3d.shape[0], 2))
+        g = jax.grad(TestGradientParity()._loss_fn(cfg, scene, probe),
+                     argnums=(0,))(scene.means3d, scene.scales, scene.quats,
+                                   scene.opacities, scene.sh_coeffs, residual)
+        assert np.isfinite(np.asarray(g[0])).all()
 
 
 class TestRankTables:
