@@ -291,7 +291,10 @@ def bin_gaussians(proj: Projected, height: int, width: int,
                   max_dup: int, tile_capacity: int,
                   dup_tails: tuple[tuple[int, int], ...] = DUP_TAILS,
                   vis_capacity: int | None = None,
+                  key_mode: str | None = None,
                   ) -> TileBins:
+    """``key_mode`` forces the pair-sort key encoding (``"packed31"``,
+    ``"packed32"``, ``"lex"``) for tests; ``None`` picks by key width."""
     n = proj.depth.shape[0]
     tiles_x, tiles_y = num_tiles(height, width)
     t_total = tiles_x * tiles_y
@@ -416,20 +419,32 @@ def bin_gaussians(proj: Projected, height: int, width: int,
                     + jnp.sum(jnp.maximum(coverage - scan, 0)))
 
     rank_bits = max(1, (n - 1).bit_length())
-    if rank_bits + (t_total + 1).bit_length() <= 31:
+    key_bits = rank_bits + (t_total + 1).bit_length()
+    if key_mode is None:
+        key_mode = ("packed31" if key_bits <= 31
+                    else "packed32" if key_bits <= 32 else "lex")
+    if key_mode != "lex":
         # Packed keys are unique ((tile, rank) pairs are), so a SINGLE
         # operand fully determines the order — the rank rides the low bits
-        # as both sort tiebreak and carried value (~0.75 ms cheaper than a
-        # two-operand sort at 1.36M pairs).
-        packed = (keys << rank_bits) | ranks
+        # as both sort tiebreak and carried value (measured 2.1× cheaper
+        # than the two-operand sort at 16M pairs on v5e).  At 32 bits the
+        # sort runs on uint32 (signed int32 would order high tiles first).
+        if key_mode == "packed31":
+            packed = (keys << rank_bits) | ranks
+            probes = jnp.arange(t_total + 1, dtype=jnp.int32) << rank_bits
+        else:
+            packed = ((keys.astype(jnp.uint32) << rank_bits)
+                      | ranks.astype(jnp.uint32))
+            probes = (jnp.arange(t_total + 1).astype(jnp.uint32)
+                      << rank_bits)
         sorted_vals = jax.lax.sort((packed,), num_keys=1,
                                    is_stable=False)[0]
-        boundaries = jnp.searchsorted(
-            sorted_vals,
-            jnp.arange(t_total + 1, dtype=jnp.int32) << rank_bits)
+        boundaries = jnp.searchsorted(sorted_vals, probes).astype(jnp.int32)
         # Ranks unpack AFTER the [T, K] table gather (393k elements instead
         # of the full pair list).
-        extract = lambda table: table & ((1 << rank_bits) - 1)
+        extract = lambda table: (
+            table.astype(jnp.uint32) & ((1 << rank_bits) - 1)
+        ).astype(jnp.int32)
     else:
         # Lexicographic (tile, depth-rank); the rank is key AND value.
         sorted_keys, sorted_vals = jax.lax.sort((keys, ranks), num_keys=2,

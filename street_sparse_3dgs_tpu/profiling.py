@@ -39,8 +39,7 @@ def trace_fn(fn, *args, trace_dir: str | None = None, iters: int = 3,
 
     tdir = trace_dir or tempfile.mkdtemp(prefix="ss3dgs_trace_")
     for _ in range(warmup):
-        out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args, **kwargs))
     with jax.profiler.trace(tdir):
         for _ in range(iters):
             out = fn(*args, **kwargs)

@@ -139,6 +139,31 @@ class TestOverflowAccounting:
         assert out.shape == (3, 48, 64)
 
 
+class TestKeyModes:
+    """The three pair-sort key encodings (int32 packed, uint32 packed for
+    32-bit keys, and the lexicographic big-scene fallback) must produce
+    identical tile tables."""
+
+    def test_key_modes_agree(self, scene):
+        from street_sparse_3dgs_tpu.ops.binning import bin_gaussians
+        from street_sparse_3dgs_tpu.ops.preprocess import project_gaussians
+
+        proj = project_gaussians(scene.means3d, scene.scales, scene.quats,
+                                 scene.opacities, scene.sh_coeffs,
+                                 scene.cameras[0], 3)
+        ref = bin_gaussians(proj, 48, 64, 64, 512, key_mode="packed31")
+        for mode in ("packed32", "lex"):
+            alt = bin_gaussians(proj, 48, 64, 64, 512, key_mode=mode)
+            np.testing.assert_array_equal(np.asarray(ref.gather),
+                                          np.asarray(alt.gather),
+                                          err_msg=mode)
+            np.testing.assert_array_equal(np.asarray(ref.mask),
+                                          np.asarray(alt.mask), err_msg=mode)
+            np.testing.assert_array_equal(np.asarray(ref.counts),
+                                          np.asarray(alt.counts),
+                                          err_msg=mode)
+
+
 class TestVisCapacity:
     """Visible compaction (``RasterConfig.vis_capacity``): bin only the
     nearest V in-frustum rows (street-scale: most of N is culled per view)."""
