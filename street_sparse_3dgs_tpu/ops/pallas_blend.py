@@ -411,8 +411,9 @@ def _blocked_cumsum_cm(rows: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return (within + offsets[:, :, None]).reshape(c, m + pad)[:, :m]
 
 
-@jax.custom_vjp
-def _gather_pack(attrs_n: jnp.ndarray, gather: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_pack(grad_sort: str, attrs_n: jnp.ndarray,
+                 gather: jnp.ndarray) -> jnp.ndarray:
     """``swapaxes(attrs_n[gather], 1, 2)`` ([N, C] -> [T, C, K]) with a
     sort-based segment-reduction VJP.
 
@@ -426,6 +427,14 @@ def _gather_pack(attrs_n: jnp.ndarray, gather: jnp.ndarray) -> jnp.ndarray:
     row's segment sum as the difference of the prefix at consecutive query
     positions.
 
+    ``grad_sort`` picks the cotangent payload width through that sort:
+    ``"f32"`` (exact, default) or ``"bf16"`` — channel PAIRS packed two-
+    per-uint32 operand, shrinking the multi-operand sort from 11 to 6
+    operands (measured 35.3 → 19.1 ms at the street-scale 4.13M rows on
+    v5e; sort cost is ~linear in operand count).  Per-pair bf16
+    quantization (rel ~2⁻⁹) sits far below the SGD gradient noise floor;
+    the running prefix sum always accumulates in f32.
+
     Measured alternative (do not redo): precomputing the merge PERMUTATION
     from the keys alone (two int32 sorts in the fwd) and applying it in the
     bwd as a row-gather is SLOWER -- the [400k, 10] source exceeds the
@@ -438,11 +447,29 @@ def _gather_pack(attrs_n: jnp.ndarray, gather: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(attrs_n[gather], 1, 2)
 
 
-def _gather_pack_fwd(attrs_n, gather):
-    return _gather_pack(attrs_n, gather), (gather, attrs_n.shape[0])
+def _gather_pack_fwd(grad_sort, attrs_n, gather):
+    return (_gather_pack(grad_sort, attrs_n, gather),
+            (gather, attrs_n.shape[0]))
 
 
-def _gather_pack_bwd(res, d):
+def _pack2(a, b):
+    """Two f32 channels → one uint32 (bf16 halves, a in the high bits)."""
+    ab = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    bb = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return (ab << 16) | bb
+
+
+def _unpack2(w):
+    hi = jax.lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type(
+        w.astype(jnp.uint16), jnp.bfloat16)
+    return hi, lo
+
+
+def _gather_pack_bwd(grad_sort, res, d):
     gather, n = res
     t, c, k = d.shape
     p = t * k
@@ -453,13 +480,21 @@ def _gather_pack_bwd(res, d):
     keys = jnp.concatenate(
         [ids * 2 + 1, jnp.arange(nq, dtype=jnp.int32) * 2])
     zq = jnp.zeros((nq,), d.dtype)
-    ops = (keys,) + tuple(
+    chans = tuple(
         jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
-    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    # Payload channels sort at their own width (half traffic in bf16
-    # mode); the running sum is always f32 -- a low-precision prefix over
-    # 400k+ rows would drown the per-row differences.
-    rows = jnp.stack(out[1:], axis=0).astype(jnp.float32)  # [C, P+nq]
+    if grad_sort == "bf16" and c % 2 == 0:
+        ops = (keys,) + tuple(_pack2(chans[2 * i], chans[2 * i + 1])
+                              for i in range(c // 2))
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        unpacked = []
+        for w in out[1:]:
+            hi, lo = _unpack2(w)
+            unpacked += [hi, lo]
+        rows = jnp.stack(unpacked, axis=0).astype(jnp.float32)
+    else:
+        ops = (keys,) + chans
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        rows = jnp.stack(out[1:], axis=0).astype(jnp.float32)  # [C, P+nq]
     s = _blocked_cumsum_cm(rows)                          # inclusive
     # Query positions, ordered by r: re-key the sorted keys by
     # (parity, value>>1) so the nq even (query) keys -- unique, ascending
@@ -480,7 +515,8 @@ _gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
 
 
 def pack_gather_attrs(gather, mean2d, conic, color, opacity,
-                      inv_depth, dtype=jnp.float32, order=None, rank=None):
+                      inv_depth, dtype=jnp.float32, order=None, rank=None,
+                      grad_sort="f32"):
     """[N,·] attributes + [T,K] gather table → packed channel-major
     [T, 10, K] kernel input.
 
@@ -503,7 +539,7 @@ def pack_gather_attrs(gather, mean2d, conic, color, opacity,
     if order is not None:
         from .binning import permute_rows
         attrs_n = permute_rows(attrs_n, order, rank)
-    return _gather_pack(attrs_n, gather)                  # [T, 10, K]
+    return _gather_pack(grad_sort, attrs_n, gather)       # [T, 10, K]
 
 
 def blend_tiles_pallas(
@@ -518,6 +554,7 @@ def blend_tiles_pallas(
     bg: jnp.ndarray,         # [3]
     interpret: bool | None = None,
     attr_dtype=jnp.float32,
+    grad_sort: str = "f32",
 ):
     """Drop-in replacement for ``ops.blend.blend_tiles`` backed by the fused
     Pallas kernels.  The per-tile gather + channel packing runs in XLA (its
@@ -535,7 +572,8 @@ def blend_tiles_pallas(
     # 512²/32k on v5e).
     attrs = pack_gather_attrs(bins.gather, mean2d, conic, color,
                               opacity, inv_depth, dtype=attr_dtype,
-                              order=bins.order, rank=bins.rank)
+                              order=bins.order, rank=bins.rank,
+                              grad_sort=grad_sort)
 
     interp = _interpret_default() if interpret is None else interpret
     tile0 = jnp.zeros((1, 1), jnp.int32)

@@ -52,6 +52,11 @@ class RasterConfig:
     # single-operand packed pair sort in range; visible rows beyond the
     # cap — the farthest — are dropped and counted (``vis_overflow``).
     vis_capacity: int | None = None
+    # Cotangent payload width through the backward segment-reduction sort
+    # (pallas method): "f32" exact (default) or "bf16" — channel pairs
+    # packed two-per-uint32, 11 -> 6 sort operands (see
+    # pallas_blend._gather_pack).  Street-scale training knob.
+    grad_sort: str = "f32"       # "f32" | "bf16"
 
 
 def rasterize(
@@ -105,7 +110,7 @@ def rasterize(
                              vis_capacity=config.vis_capacity)
         image, invdepth, alpha = blend_tiles_pallas(
             bins, proj.mean2d, proj.conic, proj.color,
-            proj.opacity, proj.inv_depth, h, w, bg,
+            proj.opacity, proj.inv_depth, h, w, bg, grad_sort=config.grad_sort,
             attr_dtype=jnp.bfloat16 if config.attr_dtype == "bf16"
             else jnp.float32)
         out["dup_overflow"] = bins.dup_overflow

@@ -169,6 +169,44 @@ def test_bf16_attr_mode_bounded_deviation():
     assert np.median(rel) < 0.1
 
 
+def test_bf16_grad_sort_bounded_deviation():
+    """grad_sort="bf16" packs backward cotangent channel PAIRS two-per-
+    uint32 through the segment-reduction sort (11 -> 6 operands; measured
+    35.3 -> 19.1 ms at street scale on v5e).  The forward is bit-identical
+    to f32 mode; gradients deviate only by per-pair bf16 rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+    from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+
+    s = make_toy_scene(seed=1, n=512, n_cameras=1, width=96, height=64)
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    def run(cfg):
+        def loss(m, sc):
+            out = rasterize(m, sc, s.quats, s.opacities, s.sh_coeffs,
+                            s.cameras[0], 3, bg, cfg)
+            return jnp.mean(out["render"]) + 0.1 * jnp.mean(out["depth"]), \
+                out["render"]
+
+        (_, img), g = jax.value_and_grad(loss, argnums=(0, 1),
+                                         has_aux=True)(s.means3d, s.scales)
+        return np.asarray(img), [np.asarray(x) for x in g]
+
+    base = dict(method="pallas", max_dup=32, tile_capacity=128)
+    img32, g32 = run(RasterConfig(**base))
+    img16, g16 = run(RasterConfig(**base, grad_sort="bf16"))
+    np.testing.assert_array_equal(img32, img16)   # forward untouched
+    for a, b in zip(g32, g16):
+        gn = np.linalg.norm(a, axis=1)
+        mask = gn > 1e-6
+        rel = np.abs(a - b).max(axis=1)[mask] / (gn[mask] + 1e-12)
+        assert np.median(rel) < 0.02
+        assert np.all(np.isfinite(b))
+
+
 def test_terminated_pixels_stay_terminated_across_blocks():
     """Regression: pixels that cross the 1e-4 transmittance threshold
     mid-block must not resume contributing in later 128-wide gaussian

@@ -40,6 +40,7 @@ def main() -> None:
     ap.add_argument("--vis-capacity", type=int, default=0,
                     help="visible-compaction cap (0 = off)")
     ap.add_argument("--method", default="pallas")
+    ap.add_argument("--grad-sort", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--profile", action="store_true")
@@ -62,7 +63,8 @@ def main() -> None:
     h, w = args.height, args.width
     cfg = RasterConfig(method=args.method, max_dup=args.max_dup,
                        tile_capacity=args.tile_capacity,
-                       vis_capacity=args.vis_capacity or None)
+                       vis_capacity=args.vis_capacity or None,
+                       grad_sort=args.grad_sort)
 
     # --- scene statistics at camera 0 (jitted separately; small outputs) ---
     @jax.jit
@@ -138,7 +140,8 @@ def main() -> None:
         "step_ms": round(step_ms, 2),
         "config": {"n": args.n, "res": f"{args.width}x{args.height}",
                    "max_dup": args.max_dup, "K": args.tile_capacity,
-                   "vis_cap": args.vis_capacity, "method": args.method},
+                   "vis_cap": args.vis_capacity, "method": args.method,
+                   "grad_sort": args.grad_sort},
         "pairs": int(s["pairs"]), "visible": int(s["n_visible"]),
     }))
 
