@@ -217,11 +217,20 @@ def render_hierarchy(argv):
                      ("--no_lpips", dict(action="store_true"))))
     h = load_hierarchy(model.hierarchy)
     out = Path(model.model_path or ".") / "renders"
-    render_hierarchy_eval(h, model.source_path, model, pipe,
-                          taus=tuple(args.taus), out_dir=out,
-                          on_train=args.on_train,
-                          with_lpips=not args.no_lpips,
-                          sh_degree=model.sh_degree)
+    results = render_hierarchy_eval(h, model.source_path, model, pipe,
+                                    taus=tuple(args.taus), out_dir=out,
+                                    on_train=args.on_train,
+                                    with_lpips=not args.no_lpips,
+                                    sh_degree=model.sh_degree)
+    # Self-describing results file (reference writes results.txt; ours
+    # additionally records LPIPS weight provenance -- 'random' fallback
+    # numbers are NOT comparable to real LPIPS).
+    import json
+
+    rpath = Path(model.model_path or ".") / "results.json"
+    rpath.write_text(json.dumps({str(k): v for k, v in results.items()},
+                                indent=1, default=float))
+    print(f"results written to {rpath}")
 
 
 def full_train(argv):

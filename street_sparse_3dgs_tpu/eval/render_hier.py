@@ -131,6 +131,13 @@ def render_hierarchy_eval(
                 ).save(rdir / f"{stem}.png")
 
         agg = metrics.aggregate_pixel_weighted(rows, weights) if rows else {}
+        if with_lpips:
+            # Provenance is part of the result: the zero-egress fallback
+            # uses deterministic RANDOM features, which must be impossible
+            # to mistake for real (calibrated) LPIPS (VERDICT r3 #7).
+            from .lpips_jax import weights_kind
+
+            agg["lpips_weights"] = weights_kind()
         if with_breakdowns:
             agg["bands"] = {
                 name: metrics.aggregate_pixel_weighted(band_rows[name],
@@ -144,5 +151,7 @@ def render_hierarchy_eval(
         results[tau] = agg
         msg = " ".join(f"{k.upper()}: {v:.5f}" for k, v in agg.items()
                        if isinstance(v, float))
+        if "lpips_weights" in agg:
+            msg += f" LPIPS_WEIGHTS: {agg['lpips_weights']}"
         print(f"tau: {tau:g}, {msg}")
     return results
