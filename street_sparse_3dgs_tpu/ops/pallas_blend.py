@@ -86,15 +86,15 @@ def _tri_dot(x, tri):
             + jnp.dot(lo, tb, preferred_element_type=jnp.float32))
 
 
-def _pixel_coords(tiles_x: int, t_mod: int, tile0_ref):
-    """Tile-absolute pixel coordinates as [P,1] columns, origin from the
-    grid position (tiles_x closed over statically).  ``tile0_ref`` holds the
-    shard's first global tile id — nonzero under tile-sharded rendering
+def _pixel_coords(tiles_x: int, t_mod: int, tile0_ref, g):
+    """Tile-absolute pixel coordinates as [P,1] columns for grid-slot ``g``
+    (tiles_x closed over statically).  ``tile0_ref`` holds the shard's
+    first global tile id — nonzero under tile-sharded rendering
     (``parallel/tiles.py``), where each device blends a contiguous slab of
     the framebuffer's tiles.  ``t_mod > 0`` wraps the tile id (multi-view
     batches concatenate each view's padded tile range along the grid axis —
     ``parallel/tp.py``)."""
-    t = pl.program_id(0) + tile0_ref[0, 0]
+    t = g + tile0_ref[0, 0]
     if t_mod:
         t = t % t_mod
     ox = ((t % tiles_x) * TILE).astype(jnp.float32)
@@ -105,7 +105,7 @@ def _pixel_coords(tiles_x: int, t_mod: int, tile0_ref):
     return px, py
 
 
-def _alpha_block(attrs_ref, sl, px, py, nvalid):
+def _alpha_block(attrs_ref, sl, px, py, nvalid, sub=0):
     """[P, KB] alpha (+aux terms) for one gaussian block vs the pixels.
     Attributes may be stored bf16 (``attr_dtype`` mode) — all math here is
     f32 regardless; only the at-rest payload precision changes.
@@ -118,7 +118,7 @@ def _alpha_block(attrs_ref, sl, px, py, nvalid):
     that can contribute (ok requires power ≤ 0), overflow-safe on the rest,
     and reused by the backward for ∂α/∂opacity (one transcendental per
     element instead of two)."""
-    ch = lambda c: attrs_ref[0, c, sl][None, :].astype(jnp.float32)
+    ch = lambda c: attrs_ref[sub, c, sl][None, :].astype(jnp.float32)
     dx = px - ch(MX)                                   # [P, KB]
     dy = py - ch(MY)
     a, b, c = ch(CA), ch(CB), ch(CC)
@@ -131,13 +131,26 @@ def _alpha_block(attrs_ref, sl, px, py, nvalid):
     return jnp.where(ok, alpha, 0.0), ok, raw, expp, dx, dy, a, b, c
 
 
-def _make_fwd_kernel(tiles_x: int, t_mod: int):
+def _make_fwd_kernel(tiles_x: int, t_mod: int, tb: int, per_tile_bg: bool):
+    """``tb`` tiles per grid program: at street scale (8k+ tiles, sparse
+    occupancy) per-program fixed overhead dominates the ~1-2 live blocks a
+    tile actually blends, so batching amortizes it ~tb×."""
     def kernel(tile0_ref, counts_ref, attrs_ref, bg_ref, out_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
-        px, py = _pixel_coords(tiles_x, t_mod, tile0_ref)
         tri = _tri(False)
-        count = counts_ref[0, pl.program_id(0)]
+        for sub in range(tb):
+            _fwd_one_tile(tiles_x, t_mod, per_tile_bg, sub, n_blocks, tri,
+                          tile0_ref, counts_ref, attrs_ref, bg_ref, out_ref)
+
+    return kernel
+
+
+def _fwd_one_tile(tiles_x, t_mod, per_tile_bg, sub, n_blocks, tri,
+                  tile0_ref, counts_ref, attrs_ref, bg_ref, out_ref):
+        g = pl.program_id(0) * (attrs_ref.shape[0]) + sub
+        px, py = _pixel_coords(tiles_x, t_mod, tile0_ref, g)
+        count = counts_ref[0, g]
 
         def body(kb, carry):
             tlog, ncontrib, rgb, ivd, acc, alive = carry
@@ -152,7 +165,7 @@ def _make_fwd_kernel(tiles_x: int, t_mod: int):
             def live(_):
                 sl = pl.ds(kb * KB, KB)
                 alpha, *_ = _alpha_block(attrs_ref, sl, px, py,
-                                         count - kb * KB)
+                                         count - kb * KB, sub)
                 log_om = jnp.log1p(-alpha)             # [P, KB]
                 cum = _tri_dot(log_om, tri)
                 # ``cum`` is an inclusive prefix of non-positive terms, so
@@ -179,13 +192,13 @@ def _make_fwd_kernel(tiles_x: int, t_mod: int):
                 # a [P,KB]×[KB,3] MXU dot pads the 3-channel output to a
                 # full tile and (since DEFAULT bf16 is too coarse here)
                 # would need 6 HIGHEST passes.
-                ch_ = lambda c: attrs_ref[0, c, sl][None, :].astype(
+                ch_ = lambda c: attrs_ref[sub, c, sl][None, :].astype(
                     jnp.float32)
                 rgb_n = rgb + jnp.concatenate(
                     [jnp.sum(w * ch_(c), axis=1, keepdims=True)
                      for c in (CR, CG, CB_)], axis=1)      # [P, 3]
                 ivd_n = ivd + jnp.sum(
-                    w * attrs_ref[0, ID, sl][None, :].astype(jnp.float32),
+                    w * attrs_ref[sub, ID, sl][None, :].astype(jnp.float32),
                     axis=1, keepdims=True)
                 # A fail anywhere in the block kills the pixel for all
                 # later blocks (fail is suffix-monotone within a block).
@@ -204,35 +217,47 @@ def _make_fwd_kernel(tiles_x: int, t_mod: int):
         tlog, nc, rgb, ivd, acc, _ = jax.lax.fori_loop(
             0, n_blocks, body, (z, z, z3, z, z, jnp.ones((P, 1), jnp.float32)))
 
+        bgr = sub if per_tile_bg else 0
         t_final = jnp.exp(tlog)
         rgb = rgb + jnp.concatenate(
-            [t_final * bg_ref[0, 0], t_final * bg_ref[0, 1],
-             t_final * bg_ref[0, 2]], axis=1)
+            [t_final * bg_ref[bgr, 0], t_final * bg_ref[bgr, 1],
+             t_final * bg_ref[bgr, 2]], axis=1)
         pad = jnp.zeros((P, 1), jnp.float32)
         out = jnp.concatenate([rgb, ivd, acc, tlog, nc, pad],
                               axis=1)                  # [P, 8]
-        out_ref[0] = out.T
-
-    return kernel
+        out_ref[sub] = out.T
 
 
-def _make_bwd_kernel(tiles_x: int, t_mod: int):
+def _make_bwd_kernel(tiles_x: int, t_mod: int, tb: int, per_tile_bg: bool):
     def kernel(tile0_ref, counts_ref, attrs_ref, bg_ref, saved_ref, g_ref,
                d_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
-        px, py = _pixel_coords(tiles_x, t_mod, tile0_ref)
         tri_suf = _tri(True)
-        count = counts_ref[0, pl.program_id(0)]
+        for sub in range(tb):
+            _bwd_one_tile(tiles_x, t_mod, per_tile_bg, sub, n_blocks,
+                          tri_suf, tile0_ref, counts_ref, attrs_ref, bg_ref,
+                          saved_ref, g_ref, d_ref)
 
-        row = lambda ref, i: ref[0, i, :][:, None]     # [P, 1]
+    return kernel
+
+
+def _bwd_one_tile(tiles_x, t_mod, per_tile_bg, sub, n_blocks, tri_suf,
+                  tile0_ref, counts_ref, attrs_ref, bg_ref, saved_ref,
+                  g_ref, d_ref):
+        g = pl.program_id(0) * (attrs_ref.shape[0]) + sub
+        px, py = _pixel_coords(tiles_x, t_mod, tile0_ref, g)
+        count = counts_ref[0, g]
+        bgr = sub if per_tile_bg else 0
+
+        row = lambda ref, i: ref[sub, i, :][:, None]   # [P, 1]
         g_r, g_g, g_b = row(g_ref, OR), row(g_ref, OG), row(g_ref, OB)
         g_ivd, g_acc = row(g_ref, OI), row(g_ref, OA)
         tlog_final = row(saved_ref, OT)
         ncontrib = row(saved_ref, ON)
         # Background: C += T_final·bg ⇒ dL/dα_k −= (g·bg)·T_final/(1-α_k).
-        g_tfinal = ((g_r * bg_ref[0, 0] + g_g * bg_ref[0, 1]
-                     + g_b * bg_ref[0, 2]) * jnp.exp(tlog_final))
+        g_tfinal = ((g_r * bg_ref[bgr, 0] + g_g * bg_ref[bgr, 1]
+                     + g_b * bg_ref[bgr, 2]) * jnp.exp(tlog_final))
 
         def body(i, carry):
             kb = n_blocks - 1 - i
@@ -243,7 +268,7 @@ def _make_bwd_kernel(tiles_x: int, t_mod: int):
             def live(_):
                 sl = pl.ds(base, KB)
                 alpha, ok, raw, expp, dx, dy, a, b, c = _alpha_block(
-                    attrs_ref, sl, px, py, count - base)
+                    attrs_ref, sl, px, py, count - base, sub)
                 kidx = (base + jax.lax.broadcasted_iota(
                     jnp.int32, (P, KB), 1)).astype(jnp.float32)
                 include = kidx < ncontrib
@@ -253,7 +278,7 @@ def _make_bwd_kernel(tiles_x: int, t_mod: int):
                 t_excl = jnp.exp(tlog_after - (suf_in + log_om))
                 w = alpha_i * t_excl
 
-                ch = lambda cidx: attrs_ref[0, cidx, sl][None, :].astype(
+                ch = lambda cidx: attrs_ref[sub, cidx, sl][None, :].astype(
                     jnp.float32)
                 # 3-term contraction as broadcast FMAs: a K=3 MXU dot pads
                 # the contraction to a full systolic pass (6 at HIGHEST);
@@ -289,14 +314,14 @@ def _make_bwd_kernel(tiles_x: int, t_mod: int):
                 block = jnp.concatenate(
                     [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op, d_id],
                     axis=0)                            # [10, KB]
-                d_ref[0, :, sl] = block.astype(d_ref.dtype)
+                d_ref[sub, :, sl] = block.astype(d_ref.dtype)
 
                 return (tlog_after - jnp.sum(log_om, axis=1, keepdims=True),
                         suffix + jnp.sum(wpg, axis=1, keepdims=True))
 
             def dead(_):
                 sl = pl.ds(base, KB)
-                d_ref[0, :, sl] = jnp.zeros((N_CH, KB), d_ref.dtype)
+                d_ref[sub, :, sl] = jnp.zeros((N_CH, KB), d_ref.dtype)
                 return carry
 
             return jax.lax.cond(block_dead, dead, live, None)
@@ -304,14 +329,12 @@ def _make_bwd_kernel(tiles_x: int, t_mod: int):
         jax.lax.fori_loop(0, n_blocks, body,
                           (tlog_final, jnp.zeros((P, 1), jnp.float32)))
 
-    return kernel
-
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _specs(k_cap, per_tile_bg: bool, t: int = 1):
+def _specs(k_cap, per_tile_bg: bool, t: int = 1, tb: int = 1):
     tile0_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
     # Whole [1, T] array resident in SMEM (per-tile (1, 1) blocks would
@@ -320,35 +343,41 @@ def _specs(k_cap, per_tile_bg: bool, t: int = 1):
     # budget; one row of T lanes pads once).
     counts_spec = pl.BlockSpec((1, t), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)
-    attrs_spec = pl.BlockSpec((1, N_CH, k_cap), lambda i: (i, 0, 0),
+    attrs_spec = pl.BlockSpec((tb, N_CH, k_cap), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     # bg is either a single [1, 3] color (kernel sees the same block at
     # every grid step) or per-tile [T, 3] rows (multi-view batches where
     # each view draws its own random background).
     bg_spec = pl.BlockSpec(
-        (1, 3), (lambda i: (i, 0)) if per_tile_bg else (lambda i: (0, 0)),
-        memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((1, N_OUT, P), lambda i: (i, 0, 0),
+        (tb, 3), (lambda i: (i, 0)) if per_tile_bg else (lambda i: (0, 0)),
+        memory_space=pltpu.SMEM) if per_tile_bg else pl.BlockSpec(
+        (1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((tb, N_OUT, P), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return tile0_spec, counts_spec, attrs_spec, bg_spec, out_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _blend_packed(interpret, tiles_x, t_mod, tile0, counts, attrs, bg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _blend_packed(interpret, tiles_x, t_mod, tb, tile0, counts, attrs, bg):
     """``counts`` is the per-tile binned pair count [1, T] int32 (pre-clip;
     padded tiles carry 0) — a forward-only block-skip hint, never touched by
-    gradients."""
-    out, _ = _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, counts,
+    gradients.  ``tb`` = tiles per kernel program (T must divide by it;
+    callers pad with zero-count tiles)."""
+    out, _ = _blend_packed_fwd(interpret, tiles_x, t_mod, tb, tile0, counts,
                                attrs, bg)
     return out
 
 
-def _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, counts, attrs, bg):
+def _blend_packed_fwd(interpret, tiles_x, t_mod, tb, tile0, counts, attrs,
+                      bg):
     t, _, k_cap = attrs.shape
+    if t % tb:
+        raise ValueError(f"tile count {t} not divisible by tile batch {tb}")
+    per_tile_bg = bg.shape[0] != 1
     tile0_spec, counts_spec, attrs_spec, bg_spec, out_spec = _specs(
-        k_cap, bg.shape[0] != 1, t)
+        k_cap, per_tile_bg, t, tb)
     out = pl.pallas_call(
-        _make_fwd_kernel(tiles_x, t_mod), grid=(t,),
+        _make_fwd_kernel(tiles_x, t_mod, tb, per_tile_bg), grid=(t // tb,),
         in_specs=[tile0_spec, counts_spec, attrs_spec, bg_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((t, N_OUT, P), jnp.float32),
@@ -357,13 +386,14 @@ def _blend_packed_fwd(interpret, tiles_x, t_mod, tile0, counts, attrs, bg):
     return out, (tile0, counts, attrs, bg, out)
 
 
-def _blend_packed_bwd(interpret, tiles_x, t_mod, res, g_out):
+def _blend_packed_bwd(interpret, tiles_x, t_mod, tb, res, g_out):
     tile0, counts, attrs, bg, saved = res
     t, _, k_cap = attrs.shape
+    per_tile_bg = bg.shape[0] != 1
     tile0_spec, counts_spec, attrs_spec, bg_spec, out_spec = _specs(
-        k_cap, bg.shape[0] != 1, t)
+        k_cap, per_tile_bg, t, tb)
     d_attrs = pl.pallas_call(
-        _make_bwd_kernel(tiles_x, t_mod), grid=(t,),
+        _make_bwd_kernel(tiles_x, t_mod, tb, per_tile_bg), grid=(t // tb,),
         in_specs=[tile0_spec, counts_spec, attrs_spec, bg_spec, out_spec,
                   out_spec],
         out_specs=attrs_spec,
@@ -378,7 +408,7 @@ def _blend_packed_bwd(interpret, tiles_x, t_mod, res, g_out):
                           for i in (OR, OG, OB)], axis=1)   # [T, 3]
     g_bg = per_tile if bg.shape[0] != 1 else jnp.sum(
         per_tile, axis=0, keepdims=True)
-    return None, None, d_attrs, g_bg
+    return None, None, d_attrs, g_bg  # tile0/counts nondiff
 
 
 _blend_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)
@@ -555,6 +585,7 @@ def blend_tiles_pallas(
     interpret: bool | None = None,
     attr_dtype=jnp.float32,
     grad_sort: str = "f32",
+    tile_batch: int = 0,
 ):
     """Drop-in replacement for ``ops.blend.blend_tiles`` backed by the fused
     Pallas kernels.  The per-tile gather + channel packing runs in XLA (its
@@ -577,9 +608,20 @@ def blend_tiles_pallas(
 
     interp = _interpret_default() if interpret is None else interpret
     tile0 = jnp.zeros((1, 1), jnp.int32)
-    out = _blend_packed(interp, tiles_x, 0, tile0,
-                        bins.counts.astype(jnp.int32)[None, :], attrs,
-                        bg[None, :])                    # [T, 8, P]
+    # Tiles per kernel program (0 = auto): at large tile counts the
+    # per-program fixed overhead (~2 µs windup/DMA setup) dwarfs the 1-2
+    # live blocks a typically-sparse tile blends, so batch 8 tiles per
+    # program; padded tiles carry count 0 and skip every block.
+    tb = tile_batch or (8 if t_total >= 2048 else 1)
+    pad = -t_total % tb
+    counts = bins.counts.astype(jnp.int32)[None, :]
+    if pad:
+        attrs = jnp.concatenate(
+            [attrs, jnp.zeros((pad,) + attrs.shape[1:], attrs.dtype)])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((1, pad), jnp.int32)], axis=1)
+    out = _blend_packed(interp, tiles_x, 0, tb, tile0, counts, attrs,
+                        bg[None, :])[:t_total]          # [T, 8, P]
 
     def to_image(flat, channels):
         img = flat.reshape(tiles_y, tiles_x, channels, TILE, TILE)

@@ -57,6 +57,9 @@ class RasterConfig:
     # packed two-per-uint32, 11 -> 6 sort operands (see
     # pallas_blend._gather_pack).  Street-scale training knob.
     grad_sort: str = "f32"       # "f32" | "bf16"
+    # Tiles per Pallas kernel program (0 = auto: 8 at >= 2048 tiles).
+    # Amortizes per-program overhead at street-scale tile counts.
+    tile_batch: int = 0
 
 
 def rasterize(
@@ -111,6 +114,7 @@ def rasterize(
         image, invdepth, alpha = blend_tiles_pallas(
             bins, proj.mean2d, proj.conic, proj.color,
             proj.opacity, proj.inv_depth, h, w, bg, grad_sort=config.grad_sort,
+            tile_batch=config.tile_batch,
             attr_dtype=jnp.bfloat16 if config.attr_dtype == "bf16"
             else jnp.float32)
         out["dup_overflow"] = bins.dup_overflow

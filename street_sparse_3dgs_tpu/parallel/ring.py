@@ -192,7 +192,7 @@ def rasterize_ring_staged(
         # Slot validity is k < count in the kernel (tmask ≡ that rule);
         # no mask plane to set.
 
-        out = _blend_packed(interp, tiles_x, 0, t0.reshape(1, 1),
+        out = _blend_packed(interp, tiles_x, 0, 1, t0.reshape(1, 1),
                             counts.astype(jnp.int32)[:, None], attrs_t,
                             bg_rep)
 

@@ -79,7 +79,7 @@ def rasterize_tile_sharded(
     def local_blend(attrs_shard, counts_shard, bg_rep):
         tile0 = (jax.lax.axis_index("tile") * t_local).astype(
             jnp.int32).reshape(1, 1)
-        return _blend_packed(interp, tiles_x, 0, tile0, counts_shard,
+        return _blend_packed(interp, tiles_x, 0, 1, tile0, counts_shard,
                              attrs_shard, bg_rep)
 
     out = shard_map(

@@ -119,7 +119,7 @@ def rasterize_batch_tile_sharded(
 
     def local_blend(attrs_shard, counts_shard, bg_shard):
         tile0 = (shard_index() * t_local).astype(jnp.int32).reshape(1, 1)
-        return _blend_packed(interp, tiles_x, t_pad, tile0, counts_shard,
+        return _blend_packed(interp, tiles_x, t_pad, 1, tile0, counts_shard,
                              attrs_shard, bg_shard)
 
     out = shard_map(

@@ -169,6 +169,38 @@ def test_bf16_attr_mode_bounded_deviation():
     assert np.median(rel) < 0.1
 
 
+def test_tile_batch_matches_unbatched():
+    """tile_batch > 1 (several tiles per kernel program, zero-count padded
+    tail tiles) must be bit-identical to the per-tile grid — images AND
+    grads, including a tile count NOT divisible by the batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from street_sparse_3dgs_tpu.data.toy import make_toy_scene
+    from street_sparse_3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+
+    # 96x80 -> 6x5 = 30 tiles: not divisible by 4 (pads to 32).
+    s = make_toy_scene(seed=2, n=384, n_cameras=1, width=96, height=80)
+    bg = jnp.array([0.2, 0.1, 0.3])
+
+    def run(cfg):
+        def loss(m):
+            out = rasterize(m, s.scales, s.quats, s.opacities, s.sh_coeffs,
+                            s.cameras[0], 3, bg, cfg)
+            return jnp.sum(out["render"] * out["render"]) \
+                + jnp.sum(out["depth"]), out["render"]
+
+        (_, img), g = jax.value_and_grad(loss, has_aux=True)(s.means3d)
+        return np.asarray(img), np.asarray(g)
+
+    base = dict(method="pallas", max_dup=32, tile_capacity=128)
+    img1, g1 = run(RasterConfig(**base, tile_batch=1))
+    img4, g4 = run(RasterConfig(**base, tile_batch=4))
+    np.testing.assert_array_equal(img1, img4)
+    np.testing.assert_array_equal(g1, g4)
+
+
 def test_bf16_grad_sort_bounded_deviation():
     """grad_sort="bf16" packs backward cotangent channel PAIRS two-per-
     uint32 through the segment-reduction sort (11 -> 6 operands; measured
