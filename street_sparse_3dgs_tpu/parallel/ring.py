@@ -193,7 +193,7 @@ def rasterize_ring_staged(
         # no mask plane to set.
 
         out = _blend_packed(interp, tiles_x, 0, 1, t0.reshape(1, 1),
-                            counts.astype(jnp.int32)[:, None], attrs_t,
+                            counts.astype(jnp.int32)[None, :], attrs_t,
                             bg_rep)
 
         dup_ovf = jax.lax.psum(jnp.sum(a_dovf), axis) // n_dev

@@ -63,7 +63,7 @@ def rasterize_tile_sharded(
         [bins.gather, jnp.zeros((pad_t, k_cap), bins.gather.dtype)], 0)
     counts = jnp.concatenate(
         [bins.counts.astype(jnp.int32),
-         jnp.zeros((pad_t,), jnp.int32)])[:, None]       # [T_pad, 1]
+         jnp.zeros((pad_t,), jnp.int32)])[None, :]       # [1, T_pad] (SMEM row)
 
     from ..ops.pallas_blend import pack_gather_attrs
 
@@ -84,7 +84,7 @@ def rasterize_tile_sharded(
 
     out = shard_map(
         local_blend, mesh=mesh,
-        in_specs=(P("tile"), P("tile"), P()), out_specs=P("tile"),
+        in_specs=(P("tile"), P(None, "tile"), P()), out_specs=P("tile"),
         check_vma=False,
     )(attrs, counts, bg[None, :])                       # [T_pad, 8, 256]
 

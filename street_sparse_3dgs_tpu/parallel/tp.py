@@ -105,7 +105,7 @@ def rasterize_batch_tile_sharded(
     attrs = jnp.concatenate([pad_view(a) for a in attrs_views], 0)
     counts = jnp.concatenate(
         [pad_view(bi.counts.astype(jnp.int32)) for bi in bins_list]
-    )[:, None]                                          # [B·T_pad, 1]
+    )[None, :]                                          # [1, B·T_pad] (SMEM row)
     bg_tiles = jnp.repeat(bgs, t_pad, axis=0)           # [B·T_pad, 3]
 
     interp = _interpret_default() if interpret is None else interpret
@@ -124,7 +124,7 @@ def rasterize_batch_tile_sharded(
 
     out = shard_map(
         local_blend, mesh=mesh,
-        in_specs=(P(axes), P(axes), P(axes)), out_specs=P(axes),
+        in_specs=(P(axes), P(None, axes), P(axes)), out_specs=P(axes),
         check_vma=False,
     )(attrs, counts, bg_tiles)                          # [B·T_pad, 8, 256]
     out = out.reshape(b, t_pad, 8, TILE * TILE)
