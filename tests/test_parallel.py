@@ -21,12 +21,16 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
 
 @pytest.fixture(scope="module")
 def scene():
-    return make_toy_scene(seed=0, n=256, n_cameras=8, width=64, height=64)
+    # 48x48 -> 9 tiles (pads to 12 over 4 shards), n sized so every
+    # shard still blends multiple gaussian blocks; interpret-mode pallas
+    # pays per-op costs, so K=128 (one 128-block) halves compile+run
+    # vs K=256 with no assertion lost (parity is scale-invariant).
+    return make_toy_scene(seed=0, n=192, n_cameras=8, width=48, height=48)
 
 
 def test_tile_sharded_matches_single(scene):
     mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
-    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=16)
     cam = scene.cameras[0]
     args = (scene.means3d, scene.scales, scene.quats, scene.opacities,
             scene.sh_coeffs, cam, 3, jnp.zeros(3))
@@ -41,7 +45,7 @@ def test_tile_sharded_matches_single(scene):
 
 def test_tile_sharded_gradients(scene):
     mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
-    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=16)
     cam = scene.cameras[0]
 
     def loss_single(means):
@@ -69,18 +73,18 @@ def test_dp_step_matches_serial_visibility_union(scene):
     mesh = make_mesh(n_data=8, n_tile=1)
     key = jax.random.PRNGKey(0)
     params, active, meta = create_from_pcd(
-        key, np.asarray(scene.means3d), np.full((256, 3), 0.5), capacity=256)
+        key, np.asarray(scene.means3d), np.full((scene.means3d.shape[0], 3), 0.5), capacity=256)
     opt = OptimizationConfig()
-    pipe = PipelineConfig(tile_capacity=256, max_dup=16)
+    pipe = PipelineConfig(tile_capacity=128, max_dup=16)
     step_fn, shard_batch, shard_state = make_dp_train_step(
         meta, opt, pipe, 1.0, mesh)
     cams = jax.tree.map(lambda *xs: jnp.stack(xs), *scene.cameras)
     b = 8
     batch = CameraBatch(
-        camera=cams, gt_image=jnp.zeros((b, 3, 64, 64)),
-        alpha_mask=jnp.ones((b, 1, 64, 64)),
-        mono_invdepth=jnp.zeros((b, 1, 64, 64)),
-        depth_mask=jnp.zeros((b, 1, 64, 64)),
+        camera=cams, gt_image=jnp.zeros((b, 3, 48, 48)),
+        alpha_mask=jnp.ones((b, 1, 48, 48)),
+        mono_invdepth=jnp.zeros((b, 1, 48, 48)),
+        depth_mask=jnp.zeros((b, 1, 48, 48)),
         depth_reliable=jnp.zeros((b,), bool),
         image_index=jnp.arange(b, dtype=jnp.int32))
     state = shard_state(init_state(params, active, b))
@@ -94,7 +98,7 @@ def test_dp_step_matches_serial_visibility_union(scene):
                            np.asarray(state.params.xyz))
 
 
-def _mixed_batch(scene, b, h=64, w=64):
+def _mixed_batch(scene, b, h=48, w=48):
     cams = jax.tree.map(lambda *xs: jnp.stack(xs), *scene.cameras[:b])
     rng = np.random.default_rng(3)
     gt = jnp.asarray(rng.uniform(0, 1, (b, 3, h, w)), jnp.float32)
@@ -116,7 +120,7 @@ def test_batch_tile_sharded_render_and_grads(scene):
     from street_sparse_3dgs_tpu.parallel.tp import rasterize_batch_tile_sharded
 
     mesh = make_mesh(n_data=2, n_tile=4)
-    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=16)
+    cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=16)
     b = 2
     cams = jax.tree.map(lambda *xs: jnp.stack(xs), *scene.cameras[:b])
     bgs = jnp.asarray([[0.1, 0.2, 0.3], [0.9, 0.5, 0.0]], jnp.float32)
@@ -175,9 +179,9 @@ def test_tile_sharded_train_step_matches_dp(scene):
 
     key = jax.random.PRNGKey(0)
     params, active, meta = create_from_pcd(
-        key, np.asarray(scene.means3d), np.full((256, 3), 0.5), capacity=256)
+        key, np.asarray(scene.means3d), np.full((scene.means3d.shape[0], 3), 0.5), capacity=256)
     opt = OptimizationConfig()
-    pipe = PipelineConfig(tile_capacity=256, max_dup=16,
+    pipe = PipelineConfig(tile_capacity=128, max_dup=16,
                           raster_method="pallas")
     b = 4
     batch = _mixed_batch(scene, b)
@@ -242,8 +246,11 @@ def test_ring_train_step_matches_serial(scene):
 
     key = jax.random.PRNGKey(0)
     params, active, meta = create_from_pcd(
-        key, np.asarray(scene.means3d), np.full((256, 3), 0.5), capacity=256)
+        key, np.asarray(scene.means3d), np.full((scene.means3d.shape[0], 3), 0.5), capacity=256)
     opt = OptimizationConfig()
+    # K=256: ring staging bins each gaussian shard separately, so a tile
+    # overflow truncates a DIFFERENT pair set than the serial bin — the
+    # loss-parity assertion needs the overflow-free capacity.
     pipe = PipelineConfig(tile_capacity=256, max_dup=16,
                           raster_method="pallas")
     b = _mixed_batch(scene, 1)
@@ -298,7 +305,7 @@ def test_ring_staged_matches_single(scene):
     from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged
 
     mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
-    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=16)
     cam = scene.cameras[0]
     args = (scene.means3d, scene.scales, scene.quats, scene.opacities,
             scene.sh_coeffs, cam, 3, jnp.zeros(3))
@@ -320,7 +327,7 @@ def test_ring_staged_gradients(scene):
     from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged
 
     mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
-    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=16)
     cam = scene.cameras[0]
 
     def loss_single(means, sh):
@@ -353,7 +360,7 @@ def test_ring_staged_pair_overflow_counted(scene):
     from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged
 
     mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
-    cfg = RasterConfig(method="pallas", tile_capacity=256, max_dup=32)
+    cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=16)
     cam = scene.cameras[0]
     with mesh:
         out = rasterize_ring_staged(
