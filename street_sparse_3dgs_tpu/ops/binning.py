@@ -57,13 +57,27 @@ class TileBins(NamedTuple):
     rank: jnp.ndarray         # [N] inverse map: rank[i] = depth rank of row i
     #                           (== M for rows dropped by visible compaction)
     gather: jnp.ndarray       # [T, K] DEPTH RANKS (indices into depth-sorted rows)
-    mask: jnp.ndarray         # [T, K] bool validity
+    #                           (exact mode: [T_v, K] over VIRTUAL tiles)
+    mask: jnp.ndarray         # [T, K] bool validity ([T_v, K] in exact mode)
     counts: jnp.ndarray       # [T] number of gaussians binned per tile (pre-clip)
     dup_overflow: jnp.ndarray   # scalar: tiles lost to the per-gaussian cap
     tile_overflow: jnp.ndarray  # scalar: pairs lost to the per-tile cap
     tiles_x: int
     tiles_y: int
     vis_overflow: jnp.ndarray = 0  # visible rows dropped past vis_capacity
+    # Exact ("virtual tile") mode — `exact_extra > 0`: a real tile with
+    # count > K wraps onto ceil(count/K) CONSECUTIVE K-wide virtual tiles,
+    # so no per-tile capacity truncation happens while every array stays
+    # static-shaped ([T_v = T + exact_extra] rows; only tiles past the
+    # extra-window budget still overflow, counted).  The reference CUDA
+    # rasterizer has no per-tile cap at all (its tile ranges index a
+    # dynamically-sized sorted pair list); this is the static-shape
+    # equivalent.  All None when exact mode is off.
+    t_of_v: jnp.ndarray | None = None  # [T_v] real tile of each virtual tile
+    #                                    (== T for unused budget rows)
+    wt: jnp.ndarray | None = None      # [T_v] window index within its tile
+    last_v: jnp.ndarray | None = None  # [T] last virtual tile of each real tile
+    vcounts: jnp.ndarray | None = None  # [T_v] pairs in this window (≤ K)
 
 
 @jax.custom_vjp
@@ -292,9 +306,16 @@ def bin_gaussians(proj: Projected, height: int, width: int,
                   dup_tails: tuple[tuple[int, int], ...] = DUP_TAILS,
                   vis_capacity: int | None = None,
                   key_mode: str | None = None,
+                  exact_extra: int = 0,
                   ) -> TileBins:
     """``key_mode`` forces the pair-sort key encoding (``"packed31"``,
-    ``"packed32"``, ``"lex"``) for tests; ``None`` picks by key width."""
+    ``"packed32"``, ``"lex"``) for tests; ``None`` picks by key width.
+
+    ``exact_extra > 0`` enables exact (virtual-tile) mode: that many extra
+    K-wide windows are budgeted so tiles with count > K keep ALL their
+    pairs (see the TileBins field docs).  Extra windows are granted in
+    tile order until the budget runs out; pairs beyond granted windows
+    stay counted in ``tile_overflow``."""
     n = proj.depth.shape[0]
     tiles_x, tiles_y = num_tiles(height, width)
     t_total = tiles_x * tiles_y
@@ -454,12 +475,46 @@ def bin_gaussians(proj: Projected, height: int, width: int,
         extract = lambda table: table
     starts = boundaries[:-1]                            # [T]
     counts = boundaries[1:] - starts
-    tile_overflow = jnp.sum(jnp.maximum(counts - tile_capacity, 0))
+
+    if exact_extra > 0:
+        # Virtual-tile window allocation: every real tile gets one K-wide
+        # window; tiles needing more draw extra windows from the static
+        # ``exact_extra`` budget in tile order (prefix allocation — a tile
+        # is granted extras only while the budget's running total covers
+        # it).  Consecutive virtual tiles of a tile stay adjacent, which
+        # the blend kernels rely on for their cross-window state carry.
+        kcap = tile_capacity
+        nw_need = jnp.maximum(-(-counts // kcap), 1)
+        extra_need = nw_need - 1
+        ecum = jnp.cumsum(extra_need) - extra_need      # exclusive prefix
+        nw = 1 + jnp.clip(exact_extra - ecum, 0, extra_need)
+        cum = jnp.cumsum(nw)                            # [T]; cum[-1] ≤ T_v
+        t_v = t_total + exact_extra
+        v = jnp.arange(t_v, dtype=jnp.int32)
+        t_of_v = jnp.searchsorted(cum.astype(jnp.int32), v,
+                                  side="right").astype(jnp.int32)
+        t_safe = jnp.minimum(t_of_v, t_total - 1)
+        used = t_of_v < t_total                         # budget rows past
+        #                                                 cum[-1] are unused
+        wt = jnp.where(used, v - (cum[t_safe] - nw[t_safe]), 0)
+        starts_v = jnp.where(used, starts[t_safe] + wt * kcap, 0)
+        vcounts = jnp.where(
+            used, jnp.clip(counts[t_safe] - wt * kcap, 0, kcap), 0)
+        tile_overflow = jnp.sum(jnp.maximum(counts - nw * kcap, 0))
+        exact = dict(t_of_v=t_of_v, wt=wt.astype(jnp.int32),
+                     last_v=(cum - 1).astype(jnp.int32),
+                     vcounts=vcounts.astype(jnp.int32))
+        gather_starts, gather_counts = starts_v, vcounts
+    else:
+        tile_overflow = jnp.sum(jnp.maximum(counts - tile_capacity, 0))
+        exact = dict()
+        gather_starts, gather_counts = starts, counts
 
     k = jnp.arange(tile_capacity, dtype=jnp.int32)
     if jax.default_backend() == "tpu" and tile_capacity % LANES == 0:
         # Pallas slab-DMA copy (overlapped per-tile segment reads).
-        gather = _slab_gather(sorted_vals, starts, tile_capacity, False)
+        gather = _slab_gather(sorted_vals, gather_starts, tile_capacity,
+                              False)
     else:
         # On CPU a vmapped dynamic_slice lowers to slice loads instead of
         # an elementwise gather; keeps tests off the interpret-mode DMA
@@ -468,12 +523,12 @@ def bin_gaussians(proj: Projected, height: int, width: int,
             [sorted_vals, jnp.zeros((tile_capacity,), sorted_vals.dtype)])
         gather = jax.vmap(
             lambda s: jax.lax.dynamic_slice(
-                padded, (s,), (tile_capacity,)))(starts)
-    mask = k[None, :] < jnp.minimum(counts, tile_capacity)[:, None]
+                padded, (s,), (tile_capacity,)))(gather_starts)
+    mask = k[None, :] < jnp.minimum(gather_counts, tile_capacity)[:, None]
     gather = jnp.where(mask, extract(gather), 0)
 
     return TileBins(order=order_out, rank=rank_out, gather=gather, mask=mask,
                     counts=counts, dup_overflow=dup_overflow,
                     tile_overflow=tile_overflow,
                     tiles_x=tiles_x, tiles_y=tiles_y,
-                    vis_overflow=vis_overflow)
+                    vis_overflow=vis_overflow, **exact)

@@ -330,6 +330,287 @@ def _bwd_one_tile(tiles_x, t_mod, per_tile_bg, sub, n_blocks, tri_suf,
                           (tlog_final, jnp.zeros((P, 1), jnp.float32)))
 
 
+# ---------- exact (virtual-tile) kernels ----------
+#
+# Tiles whose binned count exceeds K wrap onto ceil(count/K) CONSECUTIVE
+# K-wide "virtual tiles" (`ops/binning.py` exact mode), removing the
+# per-tile capacity truncation that is visibly lossy at street scale
+# (BASELINE.md round-4 K-ladder).  The kernels process virtual tiles in
+# order, carrying per-pixel blend state across a tile's windows in VMEM
+# scratch — Pallas TPU scratch persists across grid steps (the matmul
+# accumulator pattern), and the grid is sequential, so window w reads the
+# state window w-1 wrote.  The backward runs the grid REVERSED (static
+# index maps) and carries (transmittance-after, gradient suffix) the other
+# way.  Matches the reference rasterizer's uncapped per-tile ranges
+# (submodule hierarchy-rasterizer; `ops/oracle.py` is the semantics oracle).
+
+# Rows of the [4, T_v] SMEM meta array.
+MT_T, MT_W, MT_CNT, MT_LAST = range(4)
+# Scratch state rows ([8, 256]) carried across a tile's windows (fwd).
+ST_TLOG, ST_NC, ST_R, ST_G, ST_B, ST_IVD, ST_ACC, ST_ALIVE = range(8)
+
+
+def _coords_of_tile(tiles_x: int, t):
+    """[P,1] pixel coordinates of (possibly traced) tile id ``t``."""
+    ox = ((t % tiles_x) * TILE).astype(jnp.float32)
+    oy = ((t // tiles_x) * TILE).astype(jnp.float32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = ox + (idx % TILE).astype(jnp.float32)
+    py = oy + (idx // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _make_fwd_kernel_exact(tiles_x: int, tb: int):
+    def kernel(meta_ref, attrs_ref, bg_ref, out_ref, state_ref):
+        k_cap = attrs_ref.shape[2]
+        n_blocks = k_cap // KB
+        tri = _tri(False)
+        for sub in range(tb):
+            vt = pl.program_id(0) * tb + sub
+            t = meta_ref[MT_T, vt]
+            w = meta_ref[MT_W, vt]
+            count = meta_ref[MT_CNT, vt]
+            px, py = _coords_of_tile(tiles_x, t)
+            first = w == 0
+            ld = lambda r: state_ref[r, :][:, None]          # [P, 1]
+            sel = lambda r, init: jnp.where(first, init, ld(r))
+            z = jnp.zeros((P, 1), jnp.float32)
+            tlog = sel(ST_TLOG, z)
+            nc = sel(ST_NC, z)
+            rgb = jnp.where(first, jnp.zeros((P, 3), jnp.float32),
+                            jnp.concatenate(
+                                [ld(ST_R), ld(ST_G), ld(ST_B)], axis=1))
+            ivd = sel(ST_IVD, z)
+            acc = sel(ST_ACC, z)
+            alive = sel(ST_ALIVE, jnp.ones((P, 1), jnp.float32))
+
+            def body(kb, carry):
+                tlog, nc, rgb, ivd, acc, alive = carry
+                all_done = jnp.all(alive < 0.5) | (kb * KB >= count)
+
+                def live(_):
+                    sl = pl.ds(kb * KB, KB)
+                    alpha, *_ = _alpha_block(attrs_ref, sl, px, py,
+                                             count - kb * KB, sub)
+                    log_om = jnp.log1p(-alpha)
+                    cum = _tri_dot(log_om, tri)
+                    fail = (tlog + cum) < LOG_EPS
+                    include = (~fail) & (alive > 0.5)
+                    t_excl = jnp.exp(tlog + cum - log_om)
+                    wgt = jnp.where(include, alpha * t_excl, 0.0)
+                    ch_ = lambda c: attrs_ref[sub, c, sl][None, :].astype(
+                        jnp.float32)
+                    rgb_n = rgb + jnp.concatenate(
+                        [jnp.sum(wgt * ch_(c), axis=1, keepdims=True)
+                         for c in (CR, CG, CB_)], axis=1)
+                    ivd_n = ivd + jnp.sum(
+                        wgt * attrs_ref[sub, ID, sl][None, :].astype(
+                            jnp.float32), axis=1, keepdims=True)
+                    alive_n = jnp.where(fail[:, -1:], 0.0, alive)
+                    return (tlog + jnp.sum(jnp.where(include, log_om, 0.0),
+                                           axis=1, keepdims=True),
+                            nc + jnp.sum(include.astype(jnp.float32),
+                                         axis=1, keepdims=True),
+                            rgb_n, ivd_n,
+                            acc + jnp.sum(wgt, axis=1, keepdims=True),
+                            alive_n)
+
+                return jax.lax.cond(all_done, lambda _: carry, live, None)
+
+            tlog, nc, rgb, ivd, acc, alive = jax.lax.fori_loop(
+                0, n_blocks, body, (tlog, nc, rgb, ivd, acc, alive))
+
+            state_ref[ST_TLOG, :] = tlog[:, 0]
+            state_ref[ST_NC, :] = nc[:, 0]
+            state_ref[ST_R, :] = rgb[:, 0]
+            state_ref[ST_G, :] = rgb[:, 1]
+            state_ref[ST_B, :] = rgb[:, 2]
+            state_ref[ST_IVD, :] = ivd[:, 0]
+            state_ref[ST_ACC, :] = acc[:, 0]
+            state_ref[ST_ALIVE, :] = alive[:, 0]
+
+            t_final = jnp.exp(tlog)
+            rgb_out = rgb + jnp.concatenate(
+                [t_final * bg_ref[0, 0], t_final * bg_ref[0, 1],
+                 t_final * bg_ref[0, 2]], axis=1)
+            pad = jnp.zeros((P, 1), jnp.float32)
+            out = jnp.concatenate([rgb_out, ivd, acc, tlog, nc, pad], axis=1)
+            out_ref[sub] = out.T
+
+    return kernel
+
+
+def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
+    def kernel(meta_ref, attrs_ref, bg_ref, saved_ref, g_ref, d_ref,
+               state_ref):
+        k_cap = attrs_ref.shape[2]
+        n_blocks = k_cap // KB
+        tri_suf = _tri(True)
+        # Virtual tiles processed in DESCENDING order: programs ride
+        # reversed index maps, subs iterate high-to-low within the block.
+        for sub in range(tb - 1, -1, -1):
+            vt = (nprog - 1 - pl.program_id(0)) * tb + sub
+            t = meta_ref[MT_T, vt]
+            w = meta_ref[MT_W, vt]
+            count = meta_ref[MT_CNT, vt]
+            is_last = meta_ref[MT_LAST, vt]
+            px, py = _coords_of_tile(tiles_x, t)
+            base_global = (w * k_cap).astype(jnp.float32)
+
+            row = lambda ref, i: ref[sub, i, :][:, None]   # [P, 1]
+            g_r, g_g, g_b = row(g_ref, OR), row(g_ref, OG), row(g_ref, OB)
+            g_ivd, g_acc = row(g_ref, OI), row(g_ref, OA)
+            tlog_final = row(saved_ref, OT)
+            ncontrib = row(saved_ref, ON)
+            g_tfinal = ((g_r * bg_ref[0, 0] + g_g * bg_ref[0, 1]
+                         + g_b * bg_ref[0, 2]) * jnp.exp(tlog_final))
+
+            last = is_last > 0
+            tlog_after0 = jnp.where(last, tlog_final,
+                                    state_ref[0, :][:, None])
+            suffix0 = jnp.where(last, jnp.zeros((P, 1), jnp.float32),
+                                state_ref[1, :][:, None])
+
+            def body(i, carry):
+                kb = n_blocks - 1 - i
+                tlog_after, suffix = carry
+                base = kb * KB
+                block_dead = jnp.all(ncontrib <= base_global + base)
+
+                def live(_):
+                    sl = pl.ds(base, KB)
+                    alpha, ok, raw, expp, dx, dy, a, b, c = _alpha_block(
+                        attrs_ref, sl, px, py, count - base, sub)
+                    kidx = (base_global + base
+                            + jax.lax.broadcasted_iota(
+                                jnp.int32, (P, KB), 1).astype(jnp.float32))
+                    include = kidx < ncontrib
+                    alpha_i = jnp.where(include, alpha, 0.0)
+                    log_om = jnp.log1p(-alpha_i)
+                    suf_in = _tri_dot(log_om, tri_suf)
+                    t_excl = jnp.exp(tlog_after - (suf_in + log_om))
+                    wgt = alpha_i * t_excl
+
+                    ch = lambda cidx: attrs_ref[sub, cidx, sl][None, :].astype(
+                        jnp.float32)
+                    pg = (g_r * ch(CR) + g_g * ch(CG) + g_b * ch(CB_)
+                          + g_ivd * ch(ID) + g_acc)
+                    wpg = wgt * pg
+                    suf_after = _tri_dot(wpg, tri_suf) + suffix
+                    one_m = jnp.maximum(1.0 - alpha_i, 1e-4)
+                    g_alpha = jnp.where(
+                        include & ok,
+                        t_excl * pg - (suf_after + g_tfinal) / one_m, 0.0)
+                    g_alpha = jnp.where(raw < ALPHA_MAX, g_alpha, 0.0)
+                    g_power = alpha_i * g_alpha
+
+                    def col(x):
+                        return jnp.sum(x, axis=0)[None, :]
+
+                    d_mx = col(g_power * (a * dx + b * dy))
+                    d_my = col(g_power * (c * dy + b * dx))
+                    d_ca = col(g_power * (-0.5 * dx * dx))
+                    d_cb = col(g_power * (-dx * dy))
+                    d_cc = col(g_power * (-0.5 * dy * dy))
+                    d_rgb = jnp.concatenate(
+                        [jnp.sum(gc * wgt, axis=0)[None, :]
+                         for gc in (g_r, g_g, g_b)], axis=0)
+                    d_op = col(expp * g_alpha)
+                    d_id = col(wgt * g_ivd)
+                    block = jnp.concatenate(
+                        [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op, d_id],
+                        axis=0)
+                    d_ref[sub, :, sl] = block.astype(d_ref.dtype)
+
+                    return (tlog_after - jnp.sum(log_om, axis=1,
+                                                 keepdims=True),
+                            suffix + jnp.sum(wpg, axis=1, keepdims=True))
+
+                def dead(_):
+                    sl = pl.ds(base, KB)
+                    d_ref[sub, :, sl] = jnp.zeros((N_CH, KB), d_ref.dtype)
+                    return carry
+
+                return jax.lax.cond(block_dead, dead, live, None)
+
+            tlog_after, suffix = jax.lax.fori_loop(
+                0, n_blocks, body, (tlog_after0, suffix0))
+            state_ref[0, :] = tlog_after[:, 0]
+            state_ref[1, :] = suffix[:, 0]
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _blend_exact(interpret, tiles_x, tb, meta, last_v, attrs, bg):
+    """Exact (virtual-tile) blend: ``attrs`` [T_v, 10, K] over virtual
+    tiles described by ``meta`` [4, T_v] (rows: real tile, window index,
+    window pair count, is-last-window); returns the per-REAL-tile packed
+    output [T, 8, P] selected at ``last_v``."""
+    out, _ = _blend_exact_fwd(interpret, tiles_x, tb, meta, last_v, attrs,
+                              bg)
+    return out
+
+
+def _blend_exact_fwd(interpret, tiles_x, tb, meta, last_v, attrs, bg):
+    nv, _, k_cap = attrs.shape
+    if nv % tb:
+        raise ValueError(f"virtual tile count {nv} not divisible by {tb}")
+    meta_spec = pl.BlockSpec((4, nv), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out_v = pl.pallas_call(
+        _make_fwd_kernel_exact(tiles_x, tb), grid=(nv // tb,),
+        in_specs=[meta_spec,
+                  pl.BlockSpec((tb, N_CH, k_cap), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  bg_spec],
+        out_specs=pl.BlockSpec((tb, N_OUT, P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nv, N_OUT, P), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
+        interpret=interpret,
+    )(meta, attrs, bg)
+    out = out_v[last_v]                                   # [T, 8, P]
+    return out, (meta, last_v, attrs, bg, out)
+
+
+def _blend_exact_bwd(interpret, tiles_x, tb, res, g_out):
+    meta, last_v, attrs, bg, out_sel = res
+    nv, _, k_cap = attrs.shape
+    t_total = out_sel.shape[0]
+    nprog = nv // tb
+    # Every window of a real tile needs that tile's FINAL state and output
+    # cotangent: broadcast the per-real-tile rows onto virtual tiles.
+    t_safe = jnp.minimum(meta[MT_T], t_total - 1)
+    saved_eff = out_sel[t_safe]                           # [T_v, 8, P]
+    g_eff = g_out[t_safe]
+    meta_spec = pl.BlockSpec((4, nv), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    rev_attrs = pl.BlockSpec((tb, N_CH, k_cap),
+                             lambda i: (nprog - 1 - i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    rev_out = pl.BlockSpec((tb, N_OUT, P), lambda i: (nprog - 1 - i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    d_attrs = pl.pallas_call(
+        _make_bwd_kernel_exact(tiles_x, tb, nprog), grid=(nprog,),
+        in_specs=[meta_spec, rev_attrs, bg_spec, rev_out, rev_out],
+        out_specs=rev_attrs,
+        out_shape=jax.ShapeDtypeStruct((nv, N_CH, k_cap), attrs.dtype),
+        scratch_shapes=[pltpu.VMEM((2, P), jnp.float32)],
+        interpret=interpret,
+    )(meta, attrs, bg, saved_eff, g_eff)
+    t_final = jnp.exp(out_sel[:, OT, :])                  # [T, P]
+    g_bg = jnp.sum(jnp.stack(
+        [jnp.sum(t_final * g_out[:, i, :], axis=1) for i in (OR, OG, OB)],
+        axis=1), axis=0, keepdims=True)                   # [1, 3]
+    return None, None, d_attrs, g_bg
+
+
+_blend_exact.defvjp(_blend_exact_fwd, _blend_exact_bwd)
+
+
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -607,6 +888,39 @@ def blend_tiles_pallas(
                               grad_sort=grad_sort)
 
     interp = _interpret_default() if interpret is None else interpret
+
+    if bins.t_of_v is not None:
+        # Exact (virtual-tile) mode: state carries across each tile's
+        # consecutive K-wide windows inside the kernels; no per-tile
+        # capacity truncation (see binning exact_extra).
+        nv = bins.t_of_v.shape[0]
+        tb = tile_batch or (8 if nv >= 2048 else 1)
+        pad = -nv % tb
+        t_safe = jnp.minimum(bins.t_of_v, t_total - 1)
+        is_last = ((bins.t_of_v >= t_total)
+                   | (jnp.arange(nv, dtype=jnp.int32)
+                      == bins.last_v[t_safe])).astype(jnp.int32)
+        meta = jnp.stack([t_safe, bins.wt, bins.vcounts, is_last])  # [4,T_v]
+        if pad:
+            meta = jnp.concatenate(
+                [meta, jnp.zeros((4, pad), jnp.int32)
+                 .at[MT_LAST].set(1)], axis=1)
+            attrs = jnp.concatenate(
+                [attrs, jnp.zeros((pad,) + attrs.shape[1:], attrs.dtype)])
+        out = _blend_exact(interp, tiles_x, tb, meta, bins.last_v,
+                           attrs, bg[None, :])            # [T, 8, P]
+
+        def to_image(flat, channels):
+            img = flat.reshape(tiles_y, tiles_x, channels, TILE, TILE)
+            img = img.transpose(2, 0, 3, 1, 4).reshape(
+                channels, tiles_y * TILE, tiles_x * TILE)
+            return img[:, :height, :width]
+
+        image = to_image(out[:, OR:OB + 1, :], 3)
+        invdepth = to_image(out[:, OI:OI + 1, :], 1)
+        alpha_img = to_image(out[:, OA:OA + 1, :], 1)[0]
+        return image, invdepth, alpha_img
+
     tile0 = jnp.zeros((1, 1), jnp.int32)
     # Tiles per kernel program (0 = auto): at large tile counts the
     # per-program fixed overhead (~2 µs windup/DMA setup) dwarfs the 1-2

@@ -60,6 +60,13 @@ class RasterConfig:
     # Tiles per Pallas kernel program (0 = auto: 8 at >= 2048 tiles).
     # Amortizes per-program overhead at street-scale tile counts.
     tile_batch: int = 0
+    # Exact (virtual-tile) mode, pallas method only: budget of EXTRA
+    # K-wide windows so tiles with more than tile_capacity binned pairs
+    # keep all of them (no per-tile truncation — the reference rasterizer
+    # has no per-tile cap; round-4 K-ladder showed truncation is visibly
+    # lossy at street scale).  0 = off.  Pairs beyond the budget are still
+    # counted in tile_overflow.
+    exact_extra: int = 0
 
 
 def rasterize(
@@ -110,7 +117,8 @@ def rasterize(
         from .pallas_blend import blend_tiles_pallas
 
         bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity,
-                             vis_capacity=config.vis_capacity)
+                             vis_capacity=config.vis_capacity,
+                             exact_extra=config.exact_extra)
         image, invdepth, alpha = blend_tiles_pallas(
             bins, proj.mean2d, proj.conic, proj.color,
             proj.opacity, proj.inv_depth, h, w, bg, grad_sort=config.grad_sort,

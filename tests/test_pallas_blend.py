@@ -282,3 +282,111 @@ def test_terminated_pixels_stay_terminated_across_blocks():
     for a, b in zip(gT, gP):
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b, a, atol=2e-4 * scale + 1e-8, rtol=0)
+
+
+# ---------- exact (virtual-tile) mode ----------
+
+def _dense_scene():
+    """Scene whose tiles exceed K=128 (multi-window coverage required)."""
+    return make_toy_scene(seed=0, n=2048, n_cameras=1, width=128, height=96)
+
+
+def test_exact_mode_matches_oracle_images_and_grads():
+    """Tiles with count > K wrap onto several virtual tiles with state
+    carried across windows; result must equal the (uncapped) oracle with
+    ZERO tile overflow — the property padded mode cannot provide (max
+    binned count here is ~3x K).  Ref: the CUDA rasterizer's uncapped
+    per-tile ranges (SURVEY.md L0)."""
+    s = _dense_scene()
+    bg = jnp.array([0.1, 0.2, 0.3])
+    cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=16,
+                       exact_extra=64)
+
+    from street_sparse_3dgs_tpu.ops.binning import bin_gaussians
+    from street_sparse_3dgs_tpu.ops.preprocess import project_gaussians
+    proj = project_gaussians(s.means3d, s.scales, s.quats, s.opacities,
+                             s.sh_coeffs, s.cameras[0], 3)
+    bins = bin_gaussians(proj, 96, 128, 16, 128, exact_extra=64)
+    assert int(jnp.max(bins.counts)) > 128      # multi-window really hit
+
+    o = rasterize(s.means3d, s.scales, s.quats, s.opacities, s.sh_coeffs,
+                  s.cameras[0], 3, bg, RasterConfig(method="oracle"))
+    e = rasterize(s.means3d, s.scales, s.quats, s.opacities, s.sh_coeffs,
+                  s.cameras[0], 3, bg, cfg)
+    assert int(e["tile_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(e["render"]),
+                               np.asarray(o["render"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(e["depth"]),
+                               np.asarray(o["depth"]), atol=3e-5)
+
+    def loss(method_cfg, m, sc, op):
+        out = rasterize(m, sc, s.quats, op, s.sh_coeffs, s.cameras[0], 3,
+                        bg, method_cfg)
+        return (jnp.mean(out["render"] ** 2) + 0.3 * jnp.mean(out["depth"])
+                + 0.1 * jnp.mean(out["alpha"] ** 2))
+
+    go = jax.grad(lambda *a: loss(RasterConfig(method="oracle"), *a),
+                  argnums=(0, 1, 2))(s.means3d, s.scales, s.opacities)
+    ge = jax.grad(lambda *a: loss(cfg, *a),
+                  argnums=(0, 1, 2))(s.means3d, s.scales, s.opacities)
+    for name, a, b in zip(("means", "scales", "opac"), go, ge):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=3e-4 * scale, rtol=2e-3,
+                                   err_msg=name)
+
+
+def test_exact_mode_budget_overflow_counted():
+    """Pairs beyond the exact_extra window budget stay counted (never
+    silently dropped — repo invariant)."""
+    s = _dense_scene()
+    bg = jnp.zeros(3)
+    out = rasterize(s.means3d, s.scales, s.quats, s.opacities, s.sh_coeffs,
+                    s.cameras[0], 3, bg,
+                    RasterConfig(method="pallas", tile_capacity=128,
+                                 max_dup=16, exact_extra=2))
+    assert int(out["tile_overflow"]) > 0
+
+
+def test_exact_mode_tile_batch_bit_identical():
+    """tb>1 shares the scratch state across subs of one program; must be
+    bit-identical to tb=1 (same adds in the same order)."""
+    s = _dense_scene()
+    bg = jnp.array([0.3, 0.2, 0.1])
+    outs = []
+    for tb in (1, 4):
+        cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=16,
+                           exact_extra=64, tile_batch=tb)
+        out = rasterize(s.means3d, s.scales, s.quats, s.opacities,
+                        s.sh_coeffs, s.cameras[0], 3, bg, cfg)
+        outs.append(np.asarray(out["render"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_exact_mode_termination_across_windows():
+    """Termination must persist across WINDOWS (not just 128-blocks):
+    opaque front gaussians kill every pixel in window 0; later windows of
+    faint bait must not resurrect them, in fwd or bwd."""
+    s = make_toy_scene(seed=5, n=640, n_cameras=1, width=64, height=48)
+    rng = np.random.default_rng(0)
+    opac = np.where(np.arange(640) < 100,
+                    rng.uniform(0.9, 0.99, 640),
+                    rng.uniform(0.006, 0.012, 640)).astype(np.float32)
+    scales = np.full((640, 3), 0.35, np.float32)
+    bg = jnp.array([0.2, 0.4, 0.6])
+
+    def grads(cfg):
+        def loss(m, sc, o):
+            out = rasterize(m, sc, s.quats, o, s.sh_coeffs,
+                            s.cameras[0], 3, bg, cfg)
+            return jnp.mean(jnp.abs(out["render"]))
+        g = jax.grad(loss, argnums=(0, 1, 2))(
+            s.means3d, jnp.asarray(scales), jnp.asarray(opac))
+        return [np.asarray(x) for x in g]
+
+    gT = grads(RasterConfig(method="tiled", max_dup=64, tile_capacity=1024))
+    gE = grads(RasterConfig(method="pallas", max_dup=64, tile_capacity=128,
+                            exact_extra=256))
+    for a, b in zip(gT, gE):
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=2e-4 * scale + 1e-8, rtol=0)
