@@ -346,7 +346,9 @@ def _bwd_one_tile(tiles_x, t_mod, per_tile_bg, sub, n_blocks, tri_suf,
 
 # Rows of the [4, T_v] SMEM meta array.
 MT_T, MT_W, MT_CNT, MT_LAST = range(4)
-# Scratch state rows ([8, 256]) carried across a tile's windows (fwd).
+# Scratch state COLUMNS ([256, 8] — pixel-major, matching the kernels'
+# [P, 1] per-pixel column carries so save/load is a plain column copy,
+# never a sublane→lane transpose) carried across a tile's windows (fwd).
 ST_TLOG, ST_NC, ST_R, ST_G, ST_B, ST_IVD, ST_ACC, ST_ALIVE = range(8)
 
 
@@ -372,14 +374,13 @@ def _make_fwd_kernel_exact(tiles_x: int, tb: int):
             count = meta_ref[MT_CNT, vt]
             px, py = _coords_of_tile(tiles_x, t)
             first = w == 0
-            ld = lambda r: state_ref[r, :][:, None]          # [P, 1]
+            ld = lambda r: state_ref[:, r:r + 1]             # [P, 1]
             sel = lambda r, init: jnp.where(first, init, ld(r))
             z = jnp.zeros((P, 1), jnp.float32)
             tlog = sel(ST_TLOG, z)
             nc = sel(ST_NC, z)
             rgb = jnp.where(first, jnp.zeros((P, 3), jnp.float32),
-                            jnp.concatenate(
-                                [ld(ST_R), ld(ST_G), ld(ST_B)], axis=1))
+                            state_ref[:, ST_R:ST_B + 1])
             ivd = sel(ST_IVD, z)
             acc = sel(ST_ACC, z)
             alive = sel(ST_ALIVE, jnp.ones((P, 1), jnp.float32))
@@ -420,24 +421,45 @@ def _make_fwd_kernel_exact(tiles_x: int, tb: int):
             tlog, nc, rgb, ivd, acc, alive = jax.lax.fori_loop(
                 0, n_blocks, body, (tlog, nc, rgb, ivd, acc, alive))
 
-            state_ref[ST_TLOG, :] = tlog[:, 0]
-            state_ref[ST_NC, :] = nc[:, 0]
-            state_ref[ST_R, :] = rgb[:, 0]
-            state_ref[ST_G, :] = rgb[:, 1]
-            state_ref[ST_B, :] = rgb[:, 2]
-            state_ref[ST_IVD, :] = ivd[:, 0]
-            state_ref[ST_ACC, :] = acc[:, 0]
-            state_ref[ST_ALIVE, :] = alive[:, 0]
+            is_last = meta_ref[MT_LAST, vt]
 
-            t_final = jnp.exp(tlog)
-            rgb_out = rgb + jnp.concatenate(
-                [t_final * bg_ref[0, 0], t_final * bg_ref[0, 1],
-                 t_final * bg_ref[0, 2]], axis=1)
-            pad = jnp.zeros((P, 1), jnp.float32)
-            out = jnp.concatenate([rgb_out, ivd, acc, tlog, nc, pad], axis=1)
-            out_ref[sub] = out.T
+            # Non-last windows: only the carried state matters — skip the
+            # composite+output write (2/3 of windows at street scale).
+            # Last windows: the state write is dead (the next window
+            # resets) — skip it.  Unwritten output blocks flush garbage
+            # rows that the last_v selection never reads.
+            @pl.when(is_last == 0)
+            def _():
+                state_ref[...] = jnp.concatenate(
+                    [tlog, nc, rgb, ivd, acc, alive], axis=1)    # [P, 8]
+
+            @pl.when(is_last > 0)
+            def _():
+                t_final = jnp.exp(tlog)
+                rgb_out = rgb + jnp.concatenate(
+                    [t_final * bg_ref[0, 0], t_final * bg_ref[0, 1],
+                     t_final * bg_ref[0, 2]], axis=1)
+                pad = jnp.zeros((P, 1), jnp.float32)
+                # Channel-major [8, P] like the padded kernel: the .T costs
+                # a sublane→lane transpose but runs once per REAL tile (the
+                # pl.when gate), and the channel-major residual keeps the
+                # backward's [T_v ← T] row broadcasts fusible in XLA
+                # (pixel-major forms forced ~27 ms of relayout ops).
+                out = jnp.concatenate(
+                    [rgb_out, ivd, acc, tlog, nc, pad], axis=1)
+                out_ref[sub] = out.T
 
     return kernel
+
+
+# Scratch columns of the backward [P, 9] state: the (transmittance-after,
+# gradient-suffix) carry plus the per-REAL-tile finals cached at the
+# tile's last window — saved/g blocks stay channel-major (their
+# [T_v ← T] row broadcasts fuse in XLA; pixel-major forms forced ~27 ms
+# of relayout), and the 7 sublane→lane column transposes + the bg-term
+# exp run once per real tile instead of once per window.
+BS_TLOG, BS_SUF, BS_GR, BS_GG, BS_GB, BS_GIVD, BS_GACC, BS_NC, BS_GTF = \
+    range(9)
 
 
 def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
@@ -456,20 +478,31 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
             is_last = meta_ref[MT_LAST, vt]
             px, py = _coords_of_tile(tiles_x, t)
             base_global = (w * k_cap).astype(jnp.float32)
-
-            row = lambda ref, i: ref[sub, i, :][:, None]   # [P, 1]
-            g_r, g_g, g_b = row(g_ref, OR), row(g_ref, OG), row(g_ref, OB)
-            g_ivd, g_acc = row(g_ref, OI), row(g_ref, OA)
-            tlog_final = row(saved_ref, OT)
-            ncontrib = row(saved_ref, ON)
-            g_tfinal = ((g_r * bg_ref[0, 0] + g_g * bg_ref[0, 1]
-                         + g_b * bg_ref[0, 2]) * jnp.exp(tlog_final))
-
             last = is_last > 0
-            tlog_after0 = jnp.where(last, tlog_final,
-                                    state_ref[0, :][:, None])
-            suffix0 = jnp.where(last, jnp.zeros((P, 1), jnp.float32),
-                                state_ref[1, :][:, None])
+
+            # At the tile's LAST window (first visit in reverse order),
+            # transpose the channel-major finals into scratch columns; all
+            # windows then read scratch — the transposes and the bg-term
+            # exp run once per REAL tile, not once per window.
+            @pl.when(last)
+            def _():
+                row = lambda ref, i: ref[sub, i, :][:, None]   # [P, 1]
+                gr, gg, gb = row(g_ref, OR), row(g_ref, OG), row(g_ref, OB)
+                tlf = row(saved_ref, OT)
+                gtf = (gr * bg_ref[0, 0] + gg * bg_ref[0, 1]
+                       + gb * bg_ref[0, 2]) * jnp.exp(tlf)
+                state_ref[...] = jnp.concatenate(
+                    [tlf, jnp.zeros((P, 1), jnp.float32), gr, gg, gb,
+                     row(g_ref, OI), row(g_ref, OA), row(saved_ref, ON),
+                     gtf], axis=1)                             # [P, 9]
+
+            sc = lambda c: state_ref[:, c:c + 1]               # [P, 1]
+            g_r, g_g, g_b = sc(BS_GR), sc(BS_GG), sc(BS_GB)
+            g_ivd, g_acc = sc(BS_GIVD), sc(BS_GACC)
+            ncontrib = sc(BS_NC)
+            g_tfinal = sc(BS_GTF)
+            tlog_after0 = sc(BS_TLOG)
+            suffix0 = sc(BS_SUF)
 
             def body(i, carry):
                 kb = n_blocks - 1 - i
@@ -535,8 +568,8 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
 
             tlog_after, suffix = jax.lax.fori_loop(
                 0, n_blocks, body, (tlog_after0, suffix0))
-            state_ref[0, :] = tlog_after[:, 0]
-            state_ref[1, :] = suffix[:, 0]
+            state_ref[:, BS_TLOG:BS_SUF + 1] = jnp.concatenate(
+                [tlog_after, suffix], axis=1)
 
     return kernel
 
@@ -568,7 +601,7 @@ def _blend_exact_fwd(interpret, tiles_x, tb, meta, last_v, attrs, bg):
         out_specs=pl.BlockSpec((tb, N_OUT, P), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nv, N_OUT, P), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
         interpret=interpret,
     )(meta, attrs, bg)
     out = out_v[last_v]                                   # [T, 8, P]
@@ -582,6 +615,9 @@ def _blend_exact_bwd(interpret, tiles_x, tb, res, g_out):
     nprog = nv // tb
     # Every window of a real tile needs that tile's FINAL state and output
     # cotangent: broadcast the per-real-tile rows onto virtual tiles.
+    # Channel-major [T_v, 8, P] — these row broadcasts fuse into the
+    # kernel's input pipeline; the kernel transposes the needed columns
+    # into scratch once per real tile.
     t_safe = jnp.minimum(meta[MT_T], t_total - 1)
     saved_eff = out_sel[t_safe]                           # [T_v, 8, P]
     g_eff = g_out[t_safe]
@@ -598,7 +634,7 @@ def _blend_exact_bwd(interpret, tiles_x, tb, res, g_out):
         in_specs=[meta_spec, rev_attrs, bg_spec, rev_out, rev_out],
         out_specs=rev_attrs,
         out_shape=jax.ShapeDtypeStruct((nv, N_CH, k_cap), attrs.dtype),
-        scratch_shapes=[pltpu.VMEM((2, P), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P, 9), jnp.float32)],
         interpret=interpret,
     )(meta, attrs, bg, saved_eff, g_eff)
     t_final = jnp.exp(out_sel[:, OT, :])                  # [T, P]

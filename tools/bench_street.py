@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--tile-capacity", type=int, default=384)
     ap.add_argument("--vis-capacity", type=int, default=0,
                     help="visible-compaction cap (0 = off)")
+    ap.add_argument("--exact-extra", type=int, default=0,
+                    help="exact virtual-tile window budget (0 = off)")
     ap.add_argument("--method", default="pallas")
     ap.add_argument("--grad-sort", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--iters", type=int, default=8)
@@ -64,7 +66,8 @@ def main() -> None:
     cfg = RasterConfig(method=args.method, max_dup=args.max_dup,
                        tile_capacity=args.tile_capacity,
                        vis_capacity=args.vis_capacity or None,
-                       grad_sort=args.grad_sort)
+                       grad_sort=args.grad_sort,
+                       exact_extra=args.exact_extra)
 
     # --- scene statistics at camera 0 (jitted separately; small outputs) ---
     @jax.jit
@@ -72,7 +75,8 @@ def main() -> None:
         proj = project_gaussians(means, scales, quats, opac, sh,
                                  scene.cameras[0], 3)
         bins = bin_gaussians(proj, h, w, cfg.max_dup, cfg.tile_capacity,
-                             vis_capacity=cfg.vis_capacity)
+                             vis_capacity=cfg.vis_capacity,
+                             exact_extra=cfg.exact_extra)
         c = bins.counts
         return dict(n_visible=jnp.sum(proj.valid), pairs=jnp.sum(c),
                     dup_overflow=bins.dup_overflow,
@@ -141,7 +145,8 @@ def main() -> None:
         "config": {"n": args.n, "res": f"{args.width}x{args.height}",
                    "max_dup": args.max_dup, "K": args.tile_capacity,
                    "vis_cap": args.vis_capacity, "method": args.method,
-                   "grad_sort": args.grad_sort},
+                   "grad_sort": args.grad_sort,
+                   "exact_extra": args.exact_extra},
         "pairs": int(s["pairs"]), "visible": int(s["n_visible"]),
     }))
 
