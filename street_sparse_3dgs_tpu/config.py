@@ -56,6 +56,13 @@ class PipelineConfig:
     max_dup: int = 64
     tile_capacity: int = 512
     tiles_chunk: int = 16
+    # Exact (virtual-tile) budget for the pallas method: extra K-wide
+    # windows so deep tiles keep ALL binned pairs (reference parity — its
+    # rasterizer has no per-tile cap).  0 = padded mode.
+    exact_extra: int = 0
+    # Cotangent payload width through the backward segment-reduction sort
+    # ("f32" exact | "bf16" packed — street-scale speed knob).
+    grad_sort: str = "f32"
 
 
 @dataclasses.dataclass

@@ -68,7 +68,9 @@ def init_state(params: GaussianParams, active, n_images: int) -> TrainState:
 def raster_config(pipe: PipelineConfig) -> RasterConfig:
     return RasterConfig(method=pipe.raster_method, max_dup=pipe.max_dup,
                         tile_capacity=pipe.tile_capacity,
-                        tiles_chunk=pipe.tiles_chunk)
+                        tiles_chunk=pipe.tiles_chunk,
+                        exact_extra=pipe.exact_extra,
+                        grad_sort=pipe.grad_sort)
 
 
 def make_train_step(

@@ -358,3 +358,36 @@ def test_pallas_path_training_improves():
             first = ema
     assert ema < 0.75 * first, (
         f"pallas-path training stalled: EMA {first:.4f} -> {ema:.4f}")
+
+
+def test_train_step_exact_mode_matches_uncapped(toy):
+    """Training through the exact (virtual-tile) pallas path at a K well
+    below the scene's max tile occupancy follows the UNCAPPED tiled
+    trajectory (zero tile overflow), where padded pallas at the same K
+    would silently truncate — reference parity: its rasterizer has no
+    per-tile cap."""
+    scene, gts = toy
+
+    def run(pipe):
+        params, active, meta = init_model(scene)
+        opt = OptimizationConfig(iterations=50, position_lr_init=2e-4,
+                                 position_lr_final=2e-6)
+        state = init_state(params, active, n_images=len(gts))
+        step = make_train_step(meta, opt, pipe, spatial_lr_scale=1.0,
+                               sh_degree_schedule=False)
+        traj, overflow = [], 0
+        for epoch in range(2):
+            for b in make_batches(scene, gts):
+                state, aux = step(state, b)
+                loss = float(aux["loss"])
+                assert np.isfinite(loss)
+                overflow += int(aux["tile_overflow"])
+                traj.append(loss)
+        return np.asarray(traj), overflow
+
+    ref, _ = run(PipelineConfig(raster_method="tiled", tile_capacity=640,
+                                max_dup=32))
+    ex, ex_of = run(PipelineConfig(raster_method="pallas", tile_capacity=128,
+                                   max_dup=32, exact_extra=64))
+    assert ex_of == 0
+    np.testing.assert_allclose(ex, ref, rtol=5e-3)
