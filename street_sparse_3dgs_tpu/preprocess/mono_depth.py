@@ -51,6 +51,12 @@ def generate_depth(images_dir, out_dir, encoder: str = "vitl") -> int:
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    # Preferred: the native JAX Depth-Anything port (runs on TPU) with a
+    # converted torch checkpoint (DEPTH_ANYTHING_CKPT=...pth/.npz).
+    ckpt = os.environ.get("DEPTH_ANYTHING_CKPT", "")
+    if ckpt and Path(ckpt).exists():
+        return generate_depth_jax(images_dir, out_dir, ckpt)
+
     da_dir = os.environ.get("DEPTH_ANYTHING_DIR",
                             "submodules/Depth-Anything-V2")
     if Path(da_dir, "run.py").exists():
@@ -85,5 +91,35 @@ def generate_depth(images_dir, out_dir, encoder: str = "vitl") -> int:
         depth = np.asarray(
             pipe(Image.open(img_path).convert("RGB"))["predicted_depth"])
         _save_16bit(depth, dst)   # DA-V2 predicts inverse depth directly
+        n += 1
+    return n
+
+
+def generate_depth_jax(images_dir, out_dir, ckpt_path,
+                       target: int | None = None) -> int:
+    """Native path: run the JAX Depth-Anything port
+    (``preprocess/depth_anything_jax.py``, torch-parity-tested) over every
+    image, writing the reference-contract 16-bit inverse-depth PNGs.
+    ``target`` (short-side inference resolution, default 518 as in the
+    DA-V2 transform) can also come from ``DEPTH_ANYTHING_TARGET``."""
+    if target is None:
+        target = int(os.environ.get("DEPTH_ANYTHING_TARGET", "518"))
+    from PIL import Image
+
+    from .depth_anything_jax import infer_inverse_depth, load_checkpoint
+
+    images_dir, out_dir = Path(images_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    params, cfg = load_checkpoint(ckpt_path)
+    n = 0
+    for img_path in sorted(images_dir.rglob("*")):
+        if img_path.suffix.lower() not in (".jpg", ".jpeg", ".png"):
+            continue
+        rel = img_path.relative_to(images_dir)
+        dst = out_dir / rel.with_suffix(".png")
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        img = np.asarray(Image.open(img_path).convert("RGB"))
+        depth = infer_inverse_depth(params, cfg, img, target=target)
+        _save_16bit(depth, dst)
         n += 1
     return n
