@@ -41,6 +41,7 @@ def main() -> None:
                     help="visible-compaction cap (0 = off)")
     ap.add_argument("--exact-extra", type=int, default=0,
                     help="exact virtual-tile window budget (0 = off)")
+    ap.add_argument("--tile-batch", type=int, default=0)
     ap.add_argument("--method", default="pallas")
     ap.add_argument("--grad-sort", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--iters", type=int, default=8)
@@ -67,7 +68,8 @@ def main() -> None:
                        tile_capacity=args.tile_capacity,
                        vis_capacity=args.vis_capacity or None,
                        grad_sort=args.grad_sort,
-                       exact_extra=args.exact_extra)
+                       exact_extra=args.exact_extra,
+                       tile_batch=args.tile_batch)
 
     # --- scene statistics at camera 0 (jitted separately; small outputs) ---
     @jax.jit
