@@ -78,6 +78,13 @@ class TileBins(NamedTuple):
     wt: jnp.ndarray | None = None      # [T_v] window index within its tile
     last_v: jnp.ndarray | None = None  # [T] last virtual tile of each real tile
     vcounts: jnp.ndarray | None = None  # [T_v] pairs in this window (≤ K)
+    # Counts-based backward segmentation (`with_seg_pos=True`, exact mode):
+    # seg_pos[r] = exclusive prefix of per-RANK emitted-pair counts, so a
+    # rank's slot rows occupy [seg_pos[r], seg_pos[r+1]) of the id-sorted
+    # slot-grad array and the backward needs neither query rows nor the
+    # re-key sort (pallas_blend._gather_pack).  Only valid while
+    # tile_overflow == 0 (drops would shift every later segment).
+    seg_pos: jnp.ndarray | None = None  # [M+1] int32
 
 
 @jax.custom_vjp
@@ -274,8 +281,10 @@ DUP_TAILS: tuple[tuple[int, int], ...] = ((8192, 32), (512, 96))
 
 def _tail_bucket(kept, tile_id, inv_rank, n, start, budget, width, t_total):
     """Pair keys/ranks for compacted tile slots [start, start+width) of up to
-    ``budget`` gaussians with kept > start.  Returns (keys, ranks, lost)
-    where ``lost`` counts pairs of qualifying gaussians beyond the budget.
+    ``budget`` gaussians with kept > start.  Returns (keys, ranks, lost,
+    sel_rows, granted) where ``lost`` counts pairs of qualifying gaussians
+    beyond the budget and (sel_rows, granted) give each selected row's
+    granted tail-slot count (for the per-row emitted-pair accounting).
     Members are prioritized near-camera-first by their depth rank."""
     flag = kept > start
     excess = jnp.clip(kept - start, 0, width)
@@ -298,7 +307,8 @@ def _tail_bucket(kept, tile_id, inv_rank, n, start, budget, width, t_total):
     keys = jnp.where(live, tiles, t_total).astype(jnp.int32).ravel()
     ranks = jnp.broadcast_to(
         jnp.where(valid, member[:budget], 0)[:, None], tiles.shape).ravel()
-    return keys, ranks, lost
+    granted = jnp.where(valid, sel_excess[:budget], 0)
+    return keys, ranks, lost, sel_safe, granted
 
 
 def bin_gaussians(proj: Projected, height: int, width: int,
@@ -307,6 +317,7 @@ def bin_gaussians(proj: Projected, height: int, width: int,
                   vis_capacity: int | None = None,
                   key_mode: str | None = None,
                   exact_extra: int = 0,
+                  with_seg_pos: bool = False,
                   ) -> TileBins:
     """``key_mode`` forces the pair-sort key encoding (``"packed31"``,
     ``"packed32"``, ``"lex"``) for tests; ``None`` picks by key width.
@@ -420,15 +431,17 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     key_parts, rank_parts = [keys], [ranks]
     start = max_dup
     tail_lost = jnp.int32(0)
+    emitted = jnp.minimum(kept, max_dup).astype(jnp.int32)  # [N] per row
     for budget, width in dup_tails:
         width = min(width, scan - start)
         budget = min(budget, n)
         if width <= 0 or budget <= 0:
             continue
-        tk, tr, lost = _tail_bucket(kept, tile_id, inv_rank, n, start,
-                                    budget, width, t_total)
+        tk, tr, lost, sel_rows, granted = _tail_bucket(
+            kept, tile_id, inv_rank, n, start, budget, width, t_total)
         key_parts.append(tk)
         rank_parts.append(tr)
+        emitted = emitted.at[sel_rows].add(granted)
         tail_lost = tail_lost + lost
         start += width
     keys = jnp.concatenate(key_parts)
@@ -525,7 +538,26 @@ def bin_gaussians(proj: Projected, height: int, width: int,
             lambda s: jax.lax.dynamic_slice(
                 padded, (s,), (tile_capacity,)))(gather_starts)
     mask = k[None, :] < jnp.minimum(gather_counts, tile_capacity)[:, None]
-    gather = jnp.where(mask, extract(gather), 0)
+    # Masked slots carry the SENTINEL rank n (one past the last attr row):
+    # in the id-keyed backward sorts they fall past every real segment
+    # (consumers clamp the attr gather; kernels mask by counts anyway).
+    gather = jnp.where(mask, extract(gather), n)
+
+    if with_seg_pos:
+        if vis_capacity is not None and vis_capacity < n:
+            raise NotImplementedError(
+                "seg_pos (counts-based backward) with vis_capacity")
+        # Per-RANK emitted-pair counts: carry ``emitted`` through a packed
+        # single-operand sort keyed by depth position (emitted ≤ scan fits
+        # the low bits), then an exclusive prefix.
+        bits = max(1, int(scan).bit_length())
+        packed_er = (inv_rank << bits) | emitted
+        er = jax.lax.sort((packed_er,), num_keys=1, is_stable=False)[0] \
+            & ((1 << bits) - 1)
+        seg_pos = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(er).astype(jnp.int32)])            # [M+1]
+        exact["seg_pos"] = seg_pos
 
     return TileBins(order=order_out, rank=rank_out, gather=gather, mask=mask,
                     counts=counts, dup_overflow=dup_overflow,

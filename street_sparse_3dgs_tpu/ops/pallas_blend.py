@@ -760,7 +760,8 @@ def _blocked_cumsum_cm(rows: jnp.ndarray, block: int = 512) -> jnp.ndarray:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_pack(grad_sort: str, attrs_n: jnp.ndarray,
-                 gather: jnp.ndarray) -> jnp.ndarray:
+                 gather: jnp.ndarray,
+                 seg_pos: jnp.ndarray) -> jnp.ndarray:
     """``swapaxes(attrs_n[gather], 1, 2)`` ([N, C] -> [T, C, K]) with a
     sort-based segment-reduction VJP.
 
@@ -782,6 +783,16 @@ def _gather_pack(grad_sort: str, attrs_n: jnp.ndarray,
     quantization (rel ~2⁻⁹) sits far below the SGD gradient noise floor;
     the running prefix sum always accumulates in f32.
 
+    ``seg_pos`` selects the backward segmentation scheme by SHAPE: a dummy
+    [1] array keeps the query-row scheme above; a real [M+1] exclusive
+    prefix of per-rank emitted-pair counts (``TileBins.seg_pos``, exact
+    mode) drops the M query rows from the value sort AND the re-key
+    position sort entirely — segment boundaries are known, the id-sorted
+    slot grads are sliced at ``seg_pos`` directly.  Only sound while
+    ``tile_overflow == 0`` (window-budget drops would shift every later
+    rank's segment); exact mode with a right-sized budget guarantees that
+    operationally and the counter monitors it.
+
     Measured alternative (do not redo): precomputing the merge PERMUTATION
     from the keys alone (two int32 sorts in the fwd) and applying it in the
     bwd as a row-gather is SLOWER -- the [400k, 10] source exceeds the
@@ -794,9 +805,9 @@ def _gather_pack(grad_sort: str, attrs_n: jnp.ndarray,
     return jnp.swapaxes(attrs_n[gather], 1, 2)
 
 
-def _gather_pack_fwd(grad_sort, attrs_n, gather):
-    return (_gather_pack(grad_sort, attrs_n, gather),
-            (gather, attrs_n.shape[0]))
+def _gather_pack_fwd(grad_sort, attrs_n, gather, seg_pos):
+    return (_gather_pack(grad_sort, attrs_n, gather, seg_pos),
+            (gather, seg_pos, attrs_n.shape[0]))
 
 
 def _pack2(a, b):
@@ -817,18 +828,27 @@ def _unpack2(w):
 
 
 def _gather_pack_bwd(grad_sort, res, d):
-    gather, n = res
+    gather, seg_pos, n = res
     t, c, k = d.shape
     p = t * k
-    nq = n + 1
+    use_counts = seg_pos.shape[0] > 1
     ids = gather.reshape(p)
-    # Pairs get key 2*id+1, dense queries key 2*r: query r sorts after all
-    # pairs with id < r and before any pair with id == r.
-    keys = jnp.concatenate(
-        [ids * 2 + 1, jnp.arange(nq, dtype=jnp.int32) * 2])
-    zq = jnp.zeros((nq,), d.dtype)
-    chans = tuple(
-        jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
+    if use_counts:
+        # Counts-based segmentation: sort slot rows by id alone (padding
+        # slots carry the sentinel id n and land past every segment); the
+        # per-rank boundaries are seg_pos.
+        keys = ids
+        chans = tuple(d[:, j, :].reshape(p) for j in range(c))
+        nq = 0
+    else:
+        nq = n + 1
+        # Pairs get key 2*id+1, dense queries key 2*r: query r sorts after
+        # all pairs with id < r and before any pair with id == r.
+        keys = jnp.concatenate(
+            [ids * 2 + 1, jnp.arange(nq, dtype=jnp.int32) * 2])
+        zq = jnp.zeros((nq,), d.dtype)
+        chans = tuple(
+            jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
     if grad_sort == "bf16" and c % 2 == 0:
         ops = (keys,) + tuple(_pack2(chans[2 * i], chans[2 * i + 1])
                               for i in range(c // 2))
@@ -843,6 +863,13 @@ def _gather_pack_bwd(grad_sort, res, d):
         out = jax.lax.sort(ops, num_keys=1, is_stable=False)
         rows = jnp.stack(out[1:], axis=0).astype(jnp.float32)  # [C, P+nq]
     s = _blocked_cumsum_cm(rows)                          # inclusive
+    if use_counts:
+        # Exclusive prefix at the known segment boundaries: rank r's rows
+        # occupy [seg_pos[r], seg_pos[r+1]) of the id-sorted array.
+        sx = jnp.concatenate(
+            [jnp.zeros((c, 1), s.dtype), s], axis=1)      # [C, p+1]
+        b = jnp.transpose(sx)[seg_pos]                    # [M+1, C]
+        return (b[1:] - b[:-1]).astype(d.dtype), None, None
     # Query positions, ordered by r: re-key the sorted keys by
     # (parity, value>>1) so the nq even (query) keys -- unique, ascending
     # in r -- sort to the front carrying their position; duplicate pair
@@ -855,7 +882,7 @@ def _gather_pack_bwd(grad_sort, res, d):
         num_keys=1, is_stable=False)[1][:nq]
     b = jnp.transpose(s)[pos]                             # [nq, C]
     # s at query r = sum of pairs with id < r (query rows are zero).
-    return (b[1:] - b[:-1]).astype(d.dtype), None
+    return (b[1:] - b[:-1]).astype(d.dtype), None, None
 
 
 _gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
@@ -863,7 +890,7 @@ _gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
 
 def pack_gather_attrs(gather, mean2d, conic, color, opacity,
                       inv_depth, dtype=jnp.float32, order=None, rank=None,
-                      grad_sort="f32"):
+                      grad_sort="f32", seg_pos=None):
     """[N,·] attributes + [T,K] gather table → packed channel-major
     [T, 10, K] kernel input.
 
@@ -886,7 +913,9 @@ def pack_gather_attrs(gather, mean2d, conic, color, opacity,
     if order is not None:
         from .binning import permute_rows
         attrs_n = permute_rows(attrs_n, order, rank)
-    return _gather_pack(grad_sort, attrs_n, gather)       # [T, 10, K]
+    if seg_pos is None:
+        seg_pos = jnp.zeros((1,), jnp.int32)              # query-row scheme
+    return _gather_pack(grad_sort, attrs_n, gather, seg_pos)  # [T, 10, K]
 
 
 def blend_tiles_pallas(
@@ -921,7 +950,7 @@ def blend_tiles_pallas(
     attrs = pack_gather_attrs(bins.gather, mean2d, conic, color,
                               opacity, inv_depth, dtype=attr_dtype,
                               order=bins.order, rank=bins.rank,
-                              grad_sort=grad_sort)
+                              grad_sort=grad_sort, seg_pos=bins.seg_pos)
 
     interp = _interpret_default() if interpret is None else interpret
 

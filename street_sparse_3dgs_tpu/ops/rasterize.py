@@ -65,8 +65,17 @@ class RasterConfig:
     # keep all of them (no per-tile truncation — the reference rasterizer
     # has no per-tile cap; round-4 K-ladder showed truncation is visibly
     # lossy at street scale).  0 = off.  Pairs beyond the budget are still
-    # counted in tile_overflow.
+    # counted in tile_overflow.  Size it to the scene: the view needs
+    # sum(ceil(per-tile count / K)) − T extras; every UNUSED budget window
+    # is K dead slot-rows riding all downstream sorts/gathers.
     exact_extra: int = 0
+    # Backward segment-reduction scheme (pallas + exact mode): "sort"
+    # (query-row merge sort, always sound) or "counts" — segment
+    # boundaries from per-rank emitted-pair counts, dropping the N query
+    # rows and the re-key sort (faster at street scale).  "counts" is
+    # only sound while tile_overflow == 0 (monitor the counter; drops
+    # would shift every later rank's gradient segment).
+    grad_reduce: str = "sort"
 
 
 def rasterize(
@@ -116,9 +125,13 @@ def rasterize(
     elif config.method == "pallas":
         from .pallas_blend import blend_tiles_pallas
 
+        if config.grad_reduce == "counts" and not config.exact_extra:
+            raise ValueError("grad_reduce='counts' requires exact mode "
+                             "(exact_extra > 0)")
         bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity,
                              vis_capacity=config.vis_capacity,
-                             exact_extra=config.exact_extra)
+                             exact_extra=config.exact_extra,
+                             with_seg_pos=config.grad_reduce == "counts")
         image, invdepth, alpha = blend_tiles_pallas(
             bins, proj.mean2d, proj.conic, proj.color,
             proj.opacity, proj.inv_depth, h, w, bg, grad_sort=config.grad_sort,

@@ -390,3 +390,37 @@ def test_exact_mode_termination_across_windows():
     for a, b in zip(gT, gE):
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b, a, atol=2e-4 * scale + 1e-8, rtol=0)
+
+
+def test_exact_counts_grad_reduce_matches_sort():
+    """grad_reduce='counts' (boundaries from per-rank emitted counts — no
+    query rows, no re-key sort) must reproduce the query-row scheme's
+    gradients; max_dup=4 forces tail-bucket grants into the accounting."""
+    s = _dense_scene()
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    def gradfn(cfg):
+        def loss(m, sc, op):
+            out = rasterize(m, sc, s.quats, op, s.sh_coeffs, s.cameras[0],
+                            3, bg, cfg)
+            return jnp.mean(out["render"] ** 2) + 0.3 * jnp.mean(out["depth"])
+        return jax.grad(loss, argnums=(0, 1, 2))(
+            s.means3d, s.scales, s.opacities)
+
+    g1 = gradfn(RasterConfig(method="pallas", tile_capacity=128, max_dup=4,
+                             exact_extra=64))
+    g2 = gradfn(RasterConfig(method="pallas", tile_capacity=128, max_dup=4,
+                             exact_extra=64, grad_reduce="counts"))
+    for name, a, b in zip(("means", "scales", "opac"), g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, atol=1e-4 * (np.abs(a).max() + 1e-9),
+                                   err_msg=name)
+
+
+def test_counts_reduce_requires_exact_mode():
+    s = _dense_scene()
+    with pytest.raises(ValueError, match="exact"):
+        rasterize(s.means3d, s.scales, s.quats, s.opacities, s.sh_coeffs,
+                  s.cameras[0], 3, jnp.zeros(3),
+                  RasterConfig(method="pallas", grad_reduce="counts",
+                               tile_capacity=128))

@@ -236,7 +236,10 @@ class TestRankTables:
         assert (rank[order] == np.arange(n)).all()
         g = np.asarray(bins.gather)
         m = np.asarray(bins.mask)
-        assert ((g >= 0) & (g < n)).all()
+        assert ((g[m] >= 0) & (g[m] < n)).all()
+        # Masked (padding) slots carry the sentinel rank n: they sort past
+        # every real segment in the id-keyed backward reductions.
+        assert (g[~m] == n).all()
         seen_any = False
         for t in range(g.shape[0]):
             r = g[t][m[t]]

@@ -44,6 +44,7 @@ def main() -> None:
     ap.add_argument("--tile-batch", type=int, default=0)
     ap.add_argument("--method", default="pallas")
     ap.add_argument("--grad-sort", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--grad-reduce", default="sort", choices=["sort", "counts"])
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--profile", action="store_true")
@@ -69,7 +70,8 @@ def main() -> None:
                        vis_capacity=args.vis_capacity or None,
                        grad_sort=args.grad_sort,
                        exact_extra=args.exact_extra,
-                       tile_batch=args.tile_batch)
+                       tile_batch=args.tile_batch,
+                       grad_reduce=args.grad_reduce)
 
     # --- scene statistics at camera 0 (jitted separately; small outputs) ---
     @jax.jit
@@ -148,7 +150,8 @@ def main() -> None:
                    "max_dup": args.max_dup, "K": args.tile_capacity,
                    "vis_cap": args.vis_capacity, "method": args.method,
                    "grad_sort": args.grad_sort,
-                   "exact_extra": args.exact_extra},
+                   "exact_extra": args.exact_extra,
+                   "grad_reduce": args.grad_reduce},
         "pairs": int(s["pairs"]), "visible": int(s["n_visible"]),
     }))
 
