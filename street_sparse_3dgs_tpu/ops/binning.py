@@ -103,7 +103,24 @@ def permute_rows(x: jnp.ndarray, order: jnp.ndarray,
     return x[order]
 
 
+# Above this row count the forward permute runs as a multi-operand sort
+# keyed by the inverse permutation instead of a row gather: the gather is
+# row-latency-bound (~12.5 ns/row → 12.4 ms at 1M×10 on v5e) while the
+# sort network's sequential merges do the same move in ~8.5 ms.
+PERMUTE_SORT_MIN_ROWS = 262_144
+
+
 def _permute_rows_fwd(x, order, inv_order):
+    n = x.shape[0]
+    if n >= PERMUTE_SORT_MIN_ROWS and x.ndim == 2:
+        # Row i belongs at position inv_order[i]; excluded rows (visible
+        # compaction) share inv_order == len(order) and fall past the
+        # slice in arbitrary order.
+        ops = jax.lax.sort(
+            (inv_order,) + tuple(x[:, j] for j in range(x.shape[1])),
+            num_keys=1, is_stable=False)
+        out = jnp.stack(ops[1:], axis=1)[:order.shape[0]]
+        return out, inv_order
     return x[order], inv_order
 
 

@@ -865,10 +865,12 @@ def _gather_pack_bwd(grad_sort, res, d):
     s = _blocked_cumsum_cm(rows)                          # inclusive
     if use_counts:
         # Exclusive prefix at the known segment boundaries: rank r's rows
-        # occupy [seg_pos[r], seg_pos[r+1]) of the id-sorted array.
-        sx = jnp.concatenate(
-            [jnp.zeros((c, 1), s.dtype), s], axis=1)      # [C, p+1]
-        b = jnp.transpose(sx)[seg_pos]                    # [M+1, C]
+        # occupy [seg_pos[r], seg_pos[r+1]) of the id-sorted array.  Read
+        # the INCLUSIVE prefix at seg_pos−1 (zero for boundary 0) instead
+        # of materializing a zero-prepended copy of the 90 MB prefix.
+        b = jnp.where((seg_pos > 0)[:, None],
+                      jnp.transpose(s)[jnp.maximum(seg_pos - 1, 0)],
+                      0.0)                                # [M+1, C]
         return (b[1:] - b[:-1]).astype(d.dtype), None, None
     # Query positions, ordered by r: re-key the sorted keys by
     # (parity, value>>1) so the nq even (query) keys -- unique, ascending
