@@ -418,8 +418,14 @@ def _make_fwd_kernel_exact(tiles_x: int, tb: int):
 
                 return jax.lax.cond(all_done, lambda _: carry, live, None)
 
-            tlog, nc, rgb, ivd, acc, alive = jax.lax.fori_loop(
-                0, n_blocks, body, (tlog, nc, rgb, ivd, acc, alive))
+            carry0 = (tlog, nc, rgb, ivd, acc, alive)
+            if n_blocks == 1:
+                # K=128: one block per window — skip the loop machinery
+                # (runs once per window; 24k+ windows at street scale).
+                tlog, nc, rgb, ivd, acc, alive = body(0, carry0)
+            else:
+                tlog, nc, rgb, ivd, acc, alive = jax.lax.fori_loop(
+                    0, n_blocks, body, carry0)
 
             is_last = meta_ref[MT_LAST, vt]
 
@@ -566,8 +572,11 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
 
                 return jax.lax.cond(block_dead, dead, live, None)
 
-            tlog_after, suffix = jax.lax.fori_loop(
-                0, n_blocks, body, (tlog_after0, suffix0))
+            if n_blocks == 1:
+                tlog_after, suffix = body(0, (tlog_after0, suffix0))
+            else:
+                tlog_after, suffix = jax.lax.fori_loop(
+                    0, n_blocks, body, (tlog_after0, suffix0))
             state_ref[:, BS_TLOG:BS_SUF + 1] = jnp.concatenate(
                 [tlog_after, suffix], axis=1)
 
