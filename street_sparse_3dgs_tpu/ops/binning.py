@@ -335,6 +335,7 @@ def bin_gaussians(proj: Projected, height: int, width: int,
                   key_mode: str | None = None,
                   exact_extra: int = 0,
                   with_seg_pos: bool = False,
+                  exact_shards: int = 1,
                   ) -> TileBins:
     """``key_mode`` forces the pair-sort key encoding (``"packed31"``,
     ``"packed32"``, ``"lex"``) for tests; ``None`` picks by key width.
@@ -513,28 +514,55 @@ def bin_gaussians(proj: Projected, height: int, width: int,
         # is granted extras only while the budget's running total covers
         # it).  Consecutive virtual tiles of a tile stay adjacent, which
         # the blend kernels rely on for their cross-window state carry.
+        #
+        # ``exact_shards > 1`` (tile-sharded rendering): the tile range is
+        # padded to a shard multiple and each shard's slab gets its own
+        # budget ``exact_extra/S``, so shard boundaries in VIRTUAL-tile
+        # space are STATIC (at multiples of L + E_s) and never split a
+        # tile's windows — the kernels' scratch carry stays device-local.
         kcap = tile_capacity
-        nw_need = jnp.maximum(-(-counts // kcap), 1)
+        s_n = exact_shards
+        if exact_extra % s_n:
+            raise ValueError("exact_extra must divide by exact_shards")
+        t_pad_total = -(-t_total // s_n) * s_n
+        pad_t = t_pad_total - t_total
+        cnt_p = jnp.concatenate(
+            [counts, jnp.zeros((pad_t,), counts.dtype)]) if pad_t else counts
+        st_p = jnp.concatenate(
+            [starts, jnp.zeros((pad_t,), starts.dtype)]) if pad_t else starts
+        ln = t_pad_total // s_n                         # tiles per shard
+        e_s = exact_extra // s_n
+        l_v = ln + e_s                                  # windows per shard
+        cnt2 = cnt_p.reshape(s_n, ln)
+        nw_need = jnp.maximum(-(-cnt2 // kcap), 1)
         extra_need = nw_need - 1
-        ecum = jnp.cumsum(extra_need) - extra_need      # exclusive prefix
-        nw = 1 + jnp.clip(exact_extra - ecum, 0, extra_need)
-        cum = jnp.cumsum(nw)                            # [T]; cum[-1] ≤ T_v
-        t_v = t_total + exact_extra
-        v = jnp.arange(t_v, dtype=jnp.int32)
-        t_of_v = jnp.searchsorted(cum.astype(jnp.int32), v,
-                                  side="right").astype(jnp.int32)
-        t_safe = jnp.minimum(t_of_v, t_total - 1)
-        used = t_of_v < t_total                         # budget rows past
-        #                                                 cum[-1] are unused
-        wt = jnp.where(used, v - (cum[t_safe] - nw[t_safe]), 0)
-        starts_v = jnp.where(used, starts[t_safe] + wt * kcap, 0)
+        ecum = jnp.cumsum(extra_need, axis=1) - extra_need
+        nw = 1 + jnp.clip(e_s - ecum, 0, extra_need)    # [S, L]
+        cum = jnp.cumsum(nw, axis=1)                    # [S, L]
+        vv = jnp.arange(l_v, dtype=jnp.int32)
+        tloc = jax.vmap(lambda c: jnp.searchsorted(
+            c.astype(jnp.int32), vv, side="right"))(cum).astype(jnp.int32)
+        used = tloc < ln                                # [S, L_v]
+        tloc_safe = jnp.minimum(tloc, ln - 1)
+        take = jax.vmap(lambda a, i: a[i])
+        wt2 = jnp.where(
+            used, vv[None, :] - (take(cum, tloc_safe)
+                                 - take(nw, tloc_safe)), 0)
+        starts_v = jnp.where(
+            used, take(st_p.reshape(s_n, ln), tloc_safe) + wt2 * kcap, 0)
         vcounts = jnp.where(
-            used, jnp.clip(counts[t_safe] - wt * kcap, 0, kcap), 0)
-        tile_overflow = jnp.sum(jnp.maximum(counts - nw * kcap, 0))
-        exact = dict(t_of_v=t_of_v, wt=wt.astype(jnp.int32),
-                     last_v=(cum - 1).astype(jnp.int32),
-                     vcounts=vcounts.astype(jnp.int32))
-        gather_starts, gather_counts = starts_v, vcounts
+            used, jnp.clip(take(cnt2, tloc_safe) - wt2 * kcap, 0, kcap), 0)
+        shard_base = (jnp.arange(s_n, dtype=jnp.int32) * ln)[:, None]
+        t_of_v = jnp.where(used, shard_base + tloc_safe, t_pad_total)
+        last_v = ((jnp.arange(s_n, dtype=jnp.int32) * l_v)[:, None]
+                  + cum - 1).reshape(-1)[:t_total]      # [T] global v ids
+        tile_overflow = jnp.sum(jnp.maximum(cnt2 - nw * kcap, 0))
+        exact = dict(t_of_v=t_of_v.reshape(-1),
+                     wt=wt2.reshape(-1).astype(jnp.int32),
+                     last_v=last_v.astype(jnp.int32),
+                     vcounts=vcounts.reshape(-1).astype(jnp.int32))
+        gather_starts = starts_v.reshape(-1)
+        gather_counts = vcounts.reshape(-1)
     else:
         tile_overflow = jnp.sum(jnp.maximum(counts - tile_capacity, 0))
         exact = dict()

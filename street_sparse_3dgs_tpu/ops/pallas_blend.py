@@ -583,45 +583,76 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _blend_exact(interpret, tiles_x, tb, meta, last_v, attrs, bg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _blend_exact(interpret, tiles_x, tb, mesh, axis, meta, last_v, attrs,
+                 bg):
     """Exact (virtual-tile) blend: ``attrs`` [T_v, 10, K] over virtual
     tiles described by ``meta`` [4, T_v] (rows: real tile, window index,
     window pair count, is-last-window); returns the per-REAL-tile packed
-    output [T, 8, P] selected at ``last_v``."""
-    out, _ = _blend_exact_fwd(interpret, tiles_x, tb, meta, last_v, attrs,
-                              bg)
+    output [T, 8, P] selected at ``last_v``.
+
+    With ``mesh``/``axis`` the kernels run under ``shard_map`` with the
+    virtual-tile axis sharded: binning's shard-segmented allocation
+    (``exact_shards``) guarantees shard boundaries never split a tile's
+    windows, so each device's scratch carry stays local."""
+    out, _ = _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, meta,
+                              last_v, attrs, bg)
     return out
 
 
-def _blend_exact_fwd(interpret, tiles_x, tb, meta, last_v, attrs, bg):
+def _shard_exact(mesh, axis, fn, meta, attrs, *rest):
+    """Run ``fn(meta, attrs, *rest)`` sharded over the virtual-tile axis
+    (meta on its second axis; rest shards like attrs except the last
+    operand — bg — which is replicated)."""
+    if mesh is None:
+        return fn(meta, attrs, *rest)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PSpec
+
+    n_rest = len(rest)
+    in_specs = (PSpec(None, axis), PSpec(axis)) + \
+        (PSpec(),) + (PSpec(axis),) * (n_rest - 1)
+    return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=PSpec(axis), check_vma=False)(
+        meta, attrs, *rest)
+
+
+def _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, meta, last_v,
+                     attrs, bg):
     nv, _, k_cap = attrs.shape
-    if nv % tb:
-        raise ValueError(f"virtual tile count {nv} not divisible by {tb}")
-    meta_spec = pl.BlockSpec((4, nv), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-    bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    out_v = pl.pallas_call(
-        _make_fwd_kernel_exact(tiles_x, tb), grid=(nv // tb,),
-        in_specs=[meta_spec,
-                  pl.BlockSpec((tb, N_CH, k_cap), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  bg_spec],
-        out_specs=pl.BlockSpec((tb, N_OUT, P), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nv, N_OUT, P), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
-        interpret=interpret,
-    )(meta, attrs, bg)
+    n_local = nv // (mesh.shape[axis] if mesh is not None else 1)
+    if n_local % tb:
+        raise ValueError(f"local virtual tile count {n_local} not "
+                         f"divisible by {tb}")
+
+    def run(meta_l, attrs_l, bg_l):
+        nvl, _, _ = attrs_l.shape
+        meta_spec = pl.BlockSpec((4, nvl), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            _make_fwd_kernel_exact(tiles_x, tb), grid=(nvl // tb,),
+            in_specs=[meta_spec,
+                      pl.BlockSpec((tb, N_CH, k_cap), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      bg_spec],
+            out_specs=pl.BlockSpec((tb, N_OUT, P), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nvl, N_OUT, P), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
+            interpret=interpret,
+        )(meta_l, attrs_l, bg_l)
+
+    out_v = _shard_exact(mesh, axis, run, meta, attrs, bg)
     out = out_v[last_v]                                   # [T, 8, P]
     return out, (meta, last_v, attrs, bg, out)
 
 
-def _blend_exact_bwd(interpret, tiles_x, tb, res, g_out):
+def _blend_exact_bwd(interpret, tiles_x, tb, mesh, axis, res, g_out):
     meta, last_v, attrs, bg, out_sel = res
     nv, _, k_cap = attrs.shape
     t_total = out_sel.shape[0]
-    nprog = nv // tb
     # Every window of a real tile needs that tile's FINAL state and output
     # cotangent: broadcast the per-real-tile rows onto virtual tiles.
     # Channel-major [T_v, 8, P] — these row broadcasts fuse into the
@@ -630,22 +661,31 @@ def _blend_exact_bwd(interpret, tiles_x, tb, res, g_out):
     t_safe = jnp.minimum(meta[MT_T], t_total - 1)
     saved_eff = out_sel[t_safe]                           # [T_v, 8, P]
     g_eff = g_out[t_safe]
-    meta_spec = pl.BlockSpec((4, nv), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-    bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    rev_attrs = pl.BlockSpec((tb, N_CH, k_cap),
-                             lambda i: (nprog - 1 - i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    rev_out = pl.BlockSpec((tb, N_OUT, P), lambda i: (nprog - 1 - i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    d_attrs = pl.pallas_call(
-        _make_bwd_kernel_exact(tiles_x, tb, nprog), grid=(nprog,),
-        in_specs=[meta_spec, rev_attrs, bg_spec, rev_out, rev_out],
-        out_specs=rev_attrs,
-        out_shape=jax.ShapeDtypeStruct((nv, N_CH, k_cap), attrs.dtype),
-        scratch_shapes=[pltpu.VMEM((P, 9), jnp.float32)],
-        interpret=interpret,
-    )(meta, attrs, bg, saved_eff, g_eff)
+
+    def run(meta_l, attrs_l, bg_l, saved_l, g_l):
+        nvl, _, _ = attrs_l.shape
+        nprog = nvl // tb
+        meta_spec = pl.BlockSpec((4, nvl), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+        rev_attrs = pl.BlockSpec((tb, N_CH, k_cap),
+                                 lambda i: (nprog - 1 - i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        rev_out = pl.BlockSpec((tb, N_OUT, P),
+                               lambda i: (nprog - 1 - i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_bwd_kernel_exact(tiles_x, tb, nprog), grid=(nprog,),
+            in_specs=[meta_spec, rev_attrs, bg_spec, rev_out, rev_out],
+            out_specs=rev_attrs,
+            out_shape=jax.ShapeDtypeStruct((nvl, N_CH, k_cap), attrs.dtype),
+            scratch_shapes=[pltpu.VMEM((P, 9), jnp.float32)],
+            interpret=interpret,
+        )(meta_l, attrs_l, bg_l, saved_l, g_l)
+
+    d_attrs = _shard_exact(mesh, axis, run, meta, attrs, bg, saved_eff,
+                           g_eff)
     t_final = jnp.exp(out_sel[:, OT, :])                  # [T, P]
     g_bg = jnp.sum(jnp.stack(
         [jnp.sum(t_final * g_out[:, i, :], axis=1) for i in (OR, OG, OB)],
@@ -1013,8 +1053,8 @@ def blend_tiles_pallas(
                  .at[MT_LAST].set(1)], axis=1)
             attrs = jnp.concatenate(
                 [attrs, jnp.zeros((pad,) + attrs.shape[1:], attrs.dtype)])
-        out = _blend_exact(interp, tiles_x, tb, meta, bins.last_v,
-                           attrs, bg[None, :])            # [T, 8, P]
+        out = _blend_exact(interp, tiles_x, tb, None, None, meta,
+                           bins.last_v, attrs, bg[None, :])   # [T, 8, P]
 
         def to_image(flat, channels):
             img = flat.reshape(tiles_y, tiles_x, channels, TILE, TILE)

@@ -52,6 +52,9 @@ def rasterize_tile_sharded(
         proj = proj._replace(mean2d=proj.mean2d + mean2d_residual)
 
     h, w = camera.height, camera.width
+    if config.exact_extra:
+        return _rasterize_tile_sharded_exact(proj, h, w, bg, mesh, config,
+                                             interpret)
     bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity)
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
     t_total = tiles_x * tiles_y
@@ -99,6 +102,55 @@ def rasterize_tile_sharded(
     invdepth = to_image(out[:, OI:OI + 1, :], 1)
     alpha_img = to_image(out[:, OA:OA + 1, :], 1)[0]
     return {"render": image, "depth": invdepth, "alpha": alpha_img,
+            "radii": proj.radius, "visibility": proj.valid,
+            "dup_overflow": bins.dup_overflow,
+            "tile_overflow": bins.tile_overflow}
+
+
+def _rasterize_tile_sharded_exact(proj, h, w, bg, mesh, config, interpret):
+    """Exact (virtual-tile) rendering with the virtual-tile axis sharded
+    over the mesh's ``tile`` axis.  Binning's shard-segmented window
+    allocation (``exact_shards``) places shard boundaries at static
+    virtual-tile offsets that never split a real tile's windows, so each
+    device carries its blend state locally; the Pallas kernels run under
+    ``shard_map`` inside ``_blend_exact``."""
+    from ..ops.pallas_blend import _blend_exact, pack_gather_attrs
+
+    n_shards = mesh.shape["tile"]
+    extra = -(-config.exact_extra // n_shards) * n_shards
+    bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity,
+                         exact_extra=extra, exact_shards=n_shards,
+                         with_seg_pos=config.grad_reduce == "counts")
+    tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
+    t_total = tiles_x * tiles_y
+    nv = bins.t_of_v.shape[0]
+    l_v = nv // n_shards
+    tb = next(d for d in (8, 4, 2, 1) if l_v % d == 0)
+
+    attrs = pack_gather_attrs(
+        bins.gather, proj.mean2d, proj.conic, proj.color, proj.opacity,
+        proj.inv_depth, order=bins.order, rank=bins.rank,
+        grad_sort=config.grad_sort, seg_pos=bins.seg_pos)  # [T_v, 10, K]
+
+    t_safe = jnp.minimum(bins.t_of_v, t_total - 1)
+    is_last = ((bins.t_of_v >= t_total)
+               | (jnp.arange(nv, dtype=jnp.int32)
+                  == bins.last_v[t_safe])).astype(jnp.int32)
+    meta = jnp.stack([t_safe, bins.wt, bins.vcounts, is_last])  # [4, T_v]
+
+    interp = _interpret_default() if interpret is None else interpret
+    out = _blend_exact(interp, tiles_x, tb, mesh, "tile", meta,
+                       bins.last_v, attrs, bg[None, :])    # [T, 8, P]
+
+    def to_image(flat, channels):
+        img = flat.reshape(tiles_y, tiles_x, channels, TILE, TILE)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            channels, tiles_y * TILE, tiles_x * TILE)
+        return img[:, :h, :w]
+
+    return {"render": to_image(out[:, OR:OB + 1, :], 3),
+            "depth": to_image(out[:, OI:OI + 1, :], 1),
+            "alpha": to_image(out[:, OA:OA + 1, :], 1)[0],
             "radii": proj.radius, "visibility": proj.valid,
             "dup_overflow": bins.dup_overflow,
             "tile_overflow": bins.tile_overflow}
