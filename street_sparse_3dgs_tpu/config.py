@@ -63,6 +63,9 @@ class PipelineConfig:
     # Cotangent payload width through the backward segment-reduction sort
     # ("f32" exact | "bf16" packed — street-scale speed knob).
     grad_sort: str = "f32"
+    # Backward segmentation scheme ("sort" | "counts"; counts requires
+    # exact mode and zero tile overflow — see ops.rasterize.RasterConfig).
+    grad_reduce: str = "sort"
 
 
 @dataclasses.dataclass

@@ -70,7 +70,8 @@ def raster_config(pipe: PipelineConfig) -> RasterConfig:
                         tile_capacity=pipe.tile_capacity,
                         tiles_chunk=pipe.tiles_chunk,
                         exact_extra=pipe.exact_extra,
-                        grad_sort=pipe.grad_sort)
+                        grad_sort=pipe.grad_sort,
+                        grad_reduce=pipe.grad_reduce)
 
 
 def make_train_step(

@@ -72,7 +72,14 @@ def main(method: str, iters: int = 1500, seed: int = 5) -> None:
         iterations=iters, densification_interval=100, densify_from_iter=300,
         densify_until_iter=1200, opacity_reset_interval=10_000,
         densify_grad_threshold=2e-4)
-    pipe = PipelineConfig(tile_capacity=1024, raster_method=method)
+    if method == "pallas-exact":
+        # Round-4 production path: exact virtual-tile windows + counts-based
+        # backward segmentation + bf16-packed gradient sort.
+        pipe = PipelineConfig(raster_method="pallas", tile_capacity=128,
+                              exact_extra=1024, grad_reduce="counts",
+                              grad_sort="bf16")
+    else:
+        pipe = PipelineConfig(tile_capacity=1024, raster_method=method)
     state = init_state(params, active, n_images=len(gts))
     t0 = time.time()
     state, meta, stats = train_loop(
@@ -81,7 +88,11 @@ def main(method: str, iters: int = 1500, seed: int = 5) -> None:
         rng_seed=seed)
     wall = time.time() - t0
 
-    cfg = RasterConfig(method=method, tile_capacity=1024, max_dup=64)
+    if method == "pallas-exact":
+        cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=64,
+                           exact_extra=1024)
+    else:
+        cfg = RasterConfig(method=method, tile_capacity=1024, max_dup=64)
     vals = []
     for cam, gt in zip(scene.cameras, gts):
         out = rasterize(state.params.xyz, activate_scales(state.params),
