@@ -336,6 +336,7 @@ def bin_gaussians(proj: Projected, height: int, width: int,
                   exact_extra: int = 0,
                   with_seg_pos: bool = False,
                   exact_shards: int = 1,
+                  dup_overscan: int = 0,
                   ) -> TileBins:
     """``key_mode`` forces the pair-sort key encoding (``"packed31"``,
     ``"packed32"``, ``"lex"``) for tests; ``None`` picks by key width.
@@ -400,7 +401,7 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     ny = jnp.where(valid, y1 - y0, 0)
     coverage = nx * ny                                  # [N]
 
-    scan = max_dup * DUP_OVERSCAN
+    scan = max_dup * (dup_overscan or DUP_OVERSCAN)
     n = m                                               # row count from here on
     slots = jnp.arange(scan, dtype=jnp.int32)           # [S]
     nx_safe = jnp.maximum(nx, 1)

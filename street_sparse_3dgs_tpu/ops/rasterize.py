@@ -76,6 +76,13 @@ class RasterConfig:
     # only sound while tile_overflow == 0 (monitor the counter; drops
     # would shift every later rank's gradient segment).
     grad_reduce: str = "sort"
+    # Pair-emission shape knobs (advanced): rect positions scanned per
+    # gaussian = max_dup × dup_overscan (0 = module default 4); dup_tails
+    # overrides the tail-bucket ladder ((budget, width), ...) — a LARGE
+    # first bucket permits a narrow max_dup (smaller pair-emission sort)
+    # without dropping big gaussians' tiles.
+    dup_overscan: int = 0
+    dup_tails: tuple = ()
 
 
 def rasterize(
@@ -128,10 +135,14 @@ def rasterize(
         if config.grad_reduce == "counts" and not config.exact_extra:
             raise ValueError("grad_reduce='counts' requires exact mode "
                              "(exact_extra > 0)")
-        bins = bin_gaussians(proj, h, w, config.max_dup, config.tile_capacity,
-                             vis_capacity=config.vis_capacity,
-                             exact_extra=config.exact_extra,
-                             with_seg_pos=config.grad_reduce == "counts")
+        kw = dict(vis_capacity=config.vis_capacity,
+                  exact_extra=config.exact_extra,
+                  with_seg_pos=config.grad_reduce == "counts",
+                  dup_overscan=config.dup_overscan)
+        if config.dup_tails:
+            kw["dup_tails"] = config.dup_tails
+        bins = bin_gaussians(proj, h, w, config.max_dup,
+                             config.tile_capacity, **kw)
         image, invdepth, alpha = blend_tiles_pallas(
             bins, proj.mean2d, proj.conic, proj.color,
             proj.opacity, proj.inv_depth, h, w, bg, grad_sort=config.grad_sort,
