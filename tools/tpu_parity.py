@@ -42,11 +42,19 @@ def parity():
                                 tile_capacity=512))
     imgP, gP = run(RasterConfig(method="pallas", max_dup=64,
                                 tile_capacity=512))
+    # Exact (virtual-tile) production path: multi-window state carry +
+    # counts-based backward segmentation + two-level emission.
+    imgE, gE = run(RasterConfig(method="pallas", max_dup=2, dup_overscan=16,
+                                dup_tails=((2048, 6), (512, 24), (128, 96)),
+                                tile_capacity=128, exact_extra=128,
+                                grad_reduce="counts"))
     print("img  tiled-oracle max", np.abs(imgT - imgO).max(),
-          "| pallas-oracle max", np.abs(imgP - imgO).max())
+          "| pallas-oracle max", np.abs(imgP - imgO).max(),
+          "| exact-pallas max", np.abs(imgE - imgP).max())
     for i, nm in enumerate(["dmeans", "dscales"]):
         print(f"{nm}: tiled-oracle {np.abs(gT[i]-gO[i]).max():.3e} "
-              f"| pallas-oracle {np.abs(gP[i]-gO[i]).max():.3e}")
+              f"| pallas-oracle {np.abs(gP[i]-gO[i]).max():.3e} "
+              f"| exact-pallas {np.abs(gE[i]-gP[i]).max():.3e}")
 
 def bench():
     H, W, N = 512, 512, 32768
