@@ -69,6 +69,19 @@ def _tri(strict_greater: bool) -> jnp.ndarray:
         jnp.float32)
 
 
+def _dot_hl2(x, y):
+    """``x @ y`` with BOTH operands hi/lo bf16-split (4 native MXU passes,
+    all cross terms kept — error is f32-accumulation rounding only).  Used
+    to move reductions off the VPU, which is the blend kernels' bottleneck
+    (BASELINE.md roofline: ~45% of the 1.2 TFLOP/s ceiling)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    yh = y.astype(jnp.bfloat16)
+    yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return ((d(xh, yh) + d(xh, yl)) + (d(xl, yh) + d(xl, yl)))
+
+
 def _tri_dot(x, tri):
     """``x @ tri`` at near-f32 accuracy in TWO native MXU passes.
 
@@ -399,21 +412,22 @@ def _make_fwd_kernel_exact(tiles_x: int, tb: int):
                     include = (~fail) & (alive > 0.5)
                     t_excl = jnp.exp(tlog + cum - log_om)
                     wgt = jnp.where(include, alpha * t_excl, 0.0)
-                    ch_ = lambda c: attrs_ref[sub, c, sl][None, :].astype(
-                        jnp.float32)
-                    rgb_n = rgb + jnp.concatenate(
-                        [jnp.sum(wgt * ch_(c), axis=1, keepdims=True)
-                         for c in (CR, CG, CB_)], axis=1)
-                    ivd_n = ivd + jnp.sum(
-                        wgt * attrs_ref[sub, ID, sl][None, :].astype(
-                            jnp.float32), axis=1, keepdims=True)
+                    # Color/invdepth/alpha accumulation as ONE [P,KB]@[KB,5]
+                    # MXU dot (4-pass hi/lo, exact): frees the VPU — the
+                    # kernels' limiter — of 5 lane reductions.  tlog/nc
+                    # sums stay on the VPU (they gate termination).
+                    cmat = jnp.concatenate(
+                        [attrs_ref[sub, c, sl][:, None].astype(jnp.float32)
+                         for c in (CR, CG, CB_, ID)]
+                        + [jnp.ones((KB, 1), jnp.float32)], axis=1)  # [KB,5]
+                    out5 = _dot_hl2(wgt, cmat)             # [P, 5]
                     alive_n = jnp.where(fail[:, -1:], 0.0, alive)
                     return (tlog + jnp.sum(jnp.where(include, log_om, 0.0),
                                            axis=1, keepdims=True),
                             nc + jnp.sum(include.astype(jnp.float32),
                                          axis=1, keepdims=True),
-                            rgb_n, ivd_n,
-                            acc + jnp.sum(wgt, axis=1, keepdims=True),
+                            rgb + out5[:, 0:3], ivd + out5[:, 3:4],
+                            acc + out5[:, 4:5],
                             alive_n)
 
                 return jax.lax.cond(all_done, lambda _: carry, live, None)
@@ -543,6 +557,12 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
                     g_alpha = jnp.where(raw < ALPHA_MAX, g_alpha, 0.0)
                     g_power = alpha_i * g_alpha
 
+                    # Measured negative (do not redo): routing these 10
+                    # pixel-axis reductions through [1,P]@[P,KB] hi/lo MXU
+                    # dots is +6 ms at street scale — the 2 bf16-split VPU
+                    # ops per element across 10 arrays cost more than the
+                    # sublane reductions they replace (the fwd's single
+                    # [P,KB]@[KB,5] accumulation dot, by contrast, wins).
                     def col(x):
                         return jnp.sum(x, axis=0)[None, :]
 
@@ -552,8 +572,7 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
                     d_cb = col(g_power * (-dx * dy))
                     d_cc = col(g_power * (-0.5 * dy * dy))
                     d_rgb = jnp.concatenate(
-                        [jnp.sum(gc * wgt, axis=0)[None, :]
-                         for gc in (g_r, g_g, g_b)], axis=0)
+                        [col(gc * wgt) for gc in (g_r, g_g, g_b)], axis=0)
                     d_op = col(expp * g_alpha)
                     d_id = col(wgt * g_ivd)
                     block = jnp.concatenate(
