@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--exact-extra", type=int, default=0,
                     help="exact virtual-tile window budget (0 = off)")
     ap.add_argument("--tile-batch", type=int, default=0)
+    ap.add_argument("--dup-overscan", type=int, default=0)
+    ap.add_argument("--two-level", action="store_true",
+                    help="two-level pair emission: the street production "
+                         "tail ladder (use with --max-dup 2)")
     ap.add_argument("--method", default="pallas")
     ap.add_argument("--grad-sort", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--grad-reduce", default="sort", choices=["sort", "counts"])
@@ -71,16 +75,23 @@ def main() -> None:
                        grad_sort=args.grad_sort,
                        exact_extra=args.exact_extra,
                        tile_batch=args.tile_batch,
-                       grad_reduce=args.grad_reduce)
+                       grad_reduce=args.grad_reduce,
+                       dup_overscan=args.dup_overscan,
+                       dup_tails=((262144, 6), (16384, 24), (4096, 224))
+                       if args.two_level else ())
 
     # --- scene statistics at camera 0 (jitted separately; small outputs) ---
     @jax.jit
     def stats(means, scales, quats, opac, sh):
         proj = project_gaussians(means, scales, quats, opac, sh,
                                  scene.cameras[0], 3)
+        kw = dict(vis_capacity=cfg.vis_capacity,
+                  exact_extra=cfg.exact_extra,
+                  dup_overscan=cfg.dup_overscan)
+        if cfg.dup_tails:
+            kw["dup_tails"] = cfg.dup_tails
         bins = bin_gaussians(proj, h, w, cfg.max_dup, cfg.tile_capacity,
-                             vis_capacity=cfg.vis_capacity,
-                             exact_extra=cfg.exact_extra)
+                             **kw)
         c = bins.counts
         return dict(n_visible=jnp.sum(proj.valid), pairs=jnp.sum(c),
                     dup_overflow=bins.dup_overflow,
@@ -105,24 +116,32 @@ def main() -> None:
     gt = jnp.zeros((3, h, w), jnp.float32)
     cam = scene.cameras[0]
 
-    def loss_fn(means3d, scales, quats, opacities, sh_coeffs):
-        out = rasterize(means3d, scales, quats, opacities, sh_coeffs, cam,
-                        3, bg, cfg)
+    def loss_fn(means3d, scales, quats, opacities, sh_coeffs, camera):
+        out = rasterize(means3d, scales, quats, opacities, sh_coeffs,
+                        camera, 3, bg, cfg)
         return jnp.mean(jnp.abs(out["render"] - gt)) + 0.1 * jnp.mean(
             out["depth"])
 
     fargs = (scene.means3d, scene.scales, scene.quats, scene.opacities,
              scene.sh_coeffs)
+    # --cameras > 1: round-robin a different view per scan step (the
+    # training access pattern; stresses budget/tail robustness across
+    # occupancy profiles instead of re-rendering one view).
+    cam_idx = [i % len(scene.cameras) for i in range(args.iters)]
+    cams = jax.tree.map(lambda *xs: jnp.stack(xs),
+                        *[scene.cameras[i] for i in cam_idx])
 
     @jax.jit
     def scan_grads(fargs, eps):
         grad = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))
 
-        def body(acc, e):
-            g = grad(fargs[0] + e, *fargs[1:])
+        def body(acc, xs):
+            e, camera = xs
+            g = grad(fargs[0] + e, *fargs[1:], camera)
             return jax.tree.map(jnp.add, acc, g), None
 
-        acc, _ = jax.lax.scan(body, jax.tree.map(jnp.zeros_like, fargs), eps)
+        acc, _ = jax.lax.scan(
+            body, jax.tree.map(jnp.zeros_like, fargs), (eps, cams))
         return acc
 
     eps = jnp.asarray(np.random.default_rng(0).uniform(
