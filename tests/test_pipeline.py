@@ -22,16 +22,20 @@ from street_sparse_3dgs_tpu.pipeline.full_train import (ProjectPaths,
 W, H = 128, 96
 
 
-def make_project(tmp_path):
+def make_project(tmp_path, n=400, n_views=16, width=None, height=None,
+                 held_out=1):
     """Synthesize a 2-chunk project: a plane of Gaussians along x, cameras
     orbiting above.  GT images are rendered by the ORACLE at 2× resolution
     and average-pooled (the ``test_convergence.py`` de-circularization) —
     the production projection/binning/blend path never sees its own output
-    as a target, so its regressions cannot cancel out of the PSNR."""
+    as a target, so its regressions cannot cancel out of the PSNR.
+    Scale knobs (defaults = the slow-test fixture) let
+    ``tools/pipeline_quality_tpu.py`` run a larger flavor."""
     from PIL import Image
 
+    width = width or W
+    height = height or H
     key = jax.random.PRNGKey(7)
-    n = 400
     means, scales, quats, opac, sh = random_gaussians(key, n, sh_degree=3,
                                                       extent=2.0)
     # Flatten to a street-like slab along x.
@@ -45,9 +49,9 @@ def make_project(tmp_path):
 
     cam_infos = []
     cameras = {1: colmap.ColmapCamera(
-        1, "PINHOLE", W, H, np.array(
-            [W / (2 * math.tan(0.5)), H / (2 * math.tan(0.4)),
-             W / 2, H / 2]))}
+        1, "PINHOLE", width, height, np.array(
+            [width / (2 * math.tan(0.5)), height / (2 * math.tan(0.4)),
+             width / 2, height / 2]))}
     images = {}
     proj = ProjectPaths(tmp_path)
     img_dir = proj.images_dir
@@ -55,15 +59,15 @@ def make_project(tmp_path):
     # 16 views, one held out: with only 7 training views the toy slab is
     # under-constrained and held-out PSNR saturates ~6 dB below train
     # (floaters) no matter the iteration budget.
-    for i in range(16):
-        ang = 2 * math.pi * i / 16
+    for i in range(n_views):
+        ang = 2 * math.pi * i / n_views
         pos = np.array([2.2 * math.cos(ang), 2.2 * math.sin(ang), 1.4])
-        cam = lookat_camera(pos, np.zeros(3), W, H)
-        cam_hi = lookat_camera(pos, np.zeros(3), W * 2, H * 2)
+        cam = lookat_camera(pos, np.zeros(3), width, height)
+        cam_hi = lookat_camera(pos, np.zeros(3), width * 2, height * 2)
         out = rasterize(means, scales, quats, opac, sh, cam_hi, 3,
                         jnp.zeros(3), RasterConfig(method="oracle"))
         hi = jnp.clip(out["render"], 0, 1)
-        img = np.asarray(hi.reshape(3, H, 2, W, 2).mean(axis=(2, 4))
+        img = np.asarray(hi.reshape(3, height, 2, width, 2).mean(axis=(2, 4))
                          ).transpose(1, 2, 0)
         name = f"view{i:03d}.png"
         Image.fromarray((img * 255).astype(np.uint8)).save(img_dir / name)
@@ -85,7 +89,8 @@ def make_project(tmp_path):
 
     aligned = proj.colmap_dir / "sparse" / "0"
     colmap.write_model(cameras, images, pts, aligned)
-    (aligned / "test.txt").write_text("view000.png\n")
+    held = "".join(f"view{i:03d}.png\n" for i in range(held_out))
+    (aligned / "test.txt").write_text(held)
 
     # Two chunks split at x = 0, all cameras in both (toy scale).
     for ci, (lo, hi) in enumerate(((-10, 0), (0, 10))):
@@ -96,7 +101,7 @@ def make_project(tmp_path):
             xyz=pts.xyz[m], rgb=pts.rgb[m], error=pts.error[m],
             ids=np.arange(int(m.sum()), dtype=np.int64))
         colmap.write_model(cameras, images, cpts, sparse)
-        (sparse / "test.txt").write_text("view000.png\n")
+        (sparse / "test.txt").write_text(held)
         cx = (lo + hi) / 2 if abs(lo) < 5 and abs(hi) < 5 else np.clip(
             (lo + hi) / 2, -2, 2)
         (cdir / "center.txt").write_text(f"{cx} 0.0 0.0\n")

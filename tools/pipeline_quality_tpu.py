@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the project dir first")
+    ap.add_argument("--large", action="store_true",
+                    help="larger flavor: 1200 gaussians, 24 views (2 held "
+                         "out), 192x144, exact production raster config")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +67,11 @@ def main() -> None:
     else:
         tmp.mkdir(parents=True, exist_ok=True)
         t0 = time.time()
-        proj = make_project(tmp)
+        if args.large:
+            proj = make_project(tmp, n=1200, n_views=24, width=192,
+                                height=144, held_out=2)
+        else:
+            proj = make_project(tmp)
         print(f"project built in {time.time() - t0:.0f}s", flush=True)
 
     opt = OptimizationConfig(
@@ -72,9 +79,15 @@ def main() -> None:
         densify_until_iter=600, opacity_reset_interval=10_000,
         position_lr_init=2e-4, position_lr_final=2e-6,
         densify_grad_threshold=2e-4)
-    pipe = PipelineConfig(
-        raster_method="pallas", tile_capacity=384, max_dup=64,
-        exact_extra=128 if args.exact else 0, grad_sort=args.grad_sort)
+    if args.large:
+        pipe = PipelineConfig(
+            raster_method="pallas", tile_capacity=128, max_dup=64,
+            exact_extra=512, grad_sort=args.grad_sort,
+            grad_reduce="counts")
+    else:
+        pipe = PipelineConfig(
+            raster_method="pallas", tile_capacity=384, max_dup=64,
+            exact_extra=128 if args.exact else 0, grad_sort=args.grad_sort)
     model = ModelConfig(eval=True, resolution=1)
 
     t0 = time.time()
@@ -87,7 +100,8 @@ def main() -> None:
 
     mc = ModelConfig(eval=True, resolution=1, images=str(proj.images_dir))
 
-    for name in ("0_0", "1_0"):
+    per_chunk = () if args.large else ("0_0", "1_0")   # tunnel-time budget
+    for name in per_chunk:
         for hier in ("hierarchy.hier.npz", "hierarchy.hier_opt.npz"):
             p = proj.trained_chunks_dir / name / hier
             if not p.exists():
@@ -105,12 +119,16 @@ def main() -> None:
 
     h = load_hierarchy(proj.output_dir / "merged.hier.npz")
     taus = (0.0, 3.0, 6.0, 15.0)
+    t0 = time.time()
     r_test = render_hierarchy_eval(h, str(proj.colmap_dir), mc, pipe,
                                    taus=taus, with_lpips=True)
+    print(f"held-out sweep in {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
     r_train = render_hierarchy_eval(h, str(proj.colmap_dir), mc, pipe,
                                     taus=(0.0,), with_lpips=False,
                                     on_train=True)
-    print(f"merged train tau0 PSNR {r_train[0.0]['psnr']:.2f}", flush=True)
+    print(f"merged train tau0 PSNR {r_train[0.0]['psnr']:.2f} "
+          f"({time.time() - t0:.0f}s)", flush=True)
     for t in taus:
         r = r_test[t]
         print(f"merged held-out tau{t:g}: PSNR {r['psnr']:.2f} "
