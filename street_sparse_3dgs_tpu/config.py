@@ -58,8 +58,17 @@ class PipelineConfig:
     tiles_chunk: int = 16
     # Exact (virtual-tile) budget for the pallas method: extra K-wide
     # windows so deep tiles keep ALL binned pairs (reference parity — its
-    # rasterizer has no per-tile cap).  0 = padded mode.
+    # rasterizer has no per-tile cap).  0 = padded mode; -1 = SELF-SIZING:
+    # the train loop measures binning statistics on sample views and
+    # derives exact_extra + the emission ladder (ops/autosize.py), then
+    # grows the budget on overflow — zero hand-set exact knobs, matching
+    # the reference's no-tuning contract.
     exact_extra: int = 0
+    # Pair-emission shape (0/() = module defaults; filled in by the
+    # autosizer under exact_extra == -1).  dup_tails accepts
+    # "budget:width,budget:width" on the CLI.
+    dup_overscan: int = 0
+    dup_tails: tuple = ()
     # Cotangent payload width through the backward segment-reduction sort
     # ("f32" exact | "bf16" packed — street-scale speed knob).
     grad_sort: str = "f32"
@@ -100,6 +109,17 @@ _GROUPS = {"model": ModelConfig, "pipeline": PipelineConfig,
            "opt": OptimizationConfig}
 
 
+def parse_tails(s) -> tuple:
+    """``"budget:width,budget:width"`` → ``((budget, width), ...)``
+    (already-parsed tuples/lists pass through; '' → ())."""
+    if not s:
+        return ()
+    if isinstance(s, (tuple, list)):
+        return tuple((int(b), int(w)) for b, w in s)
+    return tuple(tuple(int(x) for x in part.split(":"))
+                 for part in s.split(",") if part)
+
+
 def add_group_args(parser: argparse.ArgumentParser, cls) -> None:
     """Auto-create ``--field`` flags from dataclass fields (bools become
     store_true, mirroring ParamGroup's reflection)."""
@@ -108,6 +128,10 @@ def add_group_args(parser: argparse.ArgumentParser, cls) -> None:
         if f.type in ("bool", bool):
             parser.add_argument(name, action="store_true",
                                 default=f.default)
+        elif f.type in ("tuple", tuple):
+            default = f.default if f.default is not dataclasses.MISSING \
+                else f.default_factory()
+            parser.add_argument(name, type=parse_tails, default=default)
         else:
             typ = {"int": int, "float": float, "str": str}.get(f.type, str) \
                 if isinstance(f.type, str) else f.type
@@ -115,8 +139,14 @@ def add_group_args(parser: argparse.ArgumentParser, cls) -> None:
 
 
 def extract_group(args: argparse.Namespace, cls):
-    kw = {f.name: getattr(args, f.name) for f in dataclasses.fields(cls)
-          if hasattr(args, f.name)}
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if not hasattr(args, f.name):
+            continue
+        v = getattr(args, f.name)
+        if f.type in ("tuple", tuple):
+            v = parse_tails(v)          # JSON round-trips tuples as lists
+        kw[f.name] = v
     return cls(**kw)
 
 
@@ -167,5 +197,7 @@ def load_combined(model_path: str | Path, argv=None):
                 kw[f.name] = saved[f.name]
             else:
                 kw[f.name] = f.default
+            if f.type in ("tuple", tuple):
+                kw[f.name] = parse_tails(kw[f.name])
         out.append(cls(**kw))
     return tuple(out)

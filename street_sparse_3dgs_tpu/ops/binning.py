@@ -347,6 +347,11 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     tile order until the budget runs out; pairs beyond granted windows
     stay counted in ``tile_overflow``."""
     n = proj.depth.shape[0]
+    if with_seg_pos and vis_capacity is not None and vis_capacity < n:
+        # Checked against the ORIGINAL row count (``n`` is rebound to the
+        # compacted count below, where this comparison would be dead).
+        raise NotImplementedError(
+            "seg_pos (counts-based backward) with vis_capacity")
     tiles_x, tiles_y = num_tiles(height, width)
     t_total = tiles_x * tiles_y
 
@@ -590,16 +595,19 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     gather = jnp.where(mask, extract(gather), n)
 
     if with_seg_pos:
-        if vis_capacity is not None and vis_capacity < n:
-            raise NotImplementedError(
-                "seg_pos (counts-based backward) with vis_capacity")
         # Per-RANK emitted-pair counts: carry ``emitted`` through a packed
         # single-operand sort keyed by depth position (emitted ≤ scan fits
-        # the low bits), then an exclusive prefix.
+        # the low bits), then an exclusive prefix.  The packed form needs
+        # rank_bits + value_bits ≤ 31 (int32, like the pair-key ladder
+        # above); huge-scene overflow falls back to a two-operand sort.
         bits = max(1, int(scan).bit_length())
-        packed_er = (inv_rank << bits) | emitted
-        er = jax.lax.sort((packed_er,), num_keys=1, is_stable=False)[0] \
-            & ((1 << bits) - 1)
+        if max(1, (n - 1).bit_length()) + bits <= 31:
+            packed_er = (inv_rank << bits) | emitted
+            er = jax.lax.sort((packed_er,), num_keys=1, is_stable=False)[0] \
+                & ((1 << bits) - 1)
+        else:
+            er = jax.lax.sort((inv_rank, emitted), num_keys=1,
+                              is_stable=False)[1]
         seg_pos = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(er).astype(jnp.int32)])            # [M+1]

@@ -621,8 +621,8 @@ def _blend_exact(interpret, tiles_x, tb, mesh, axis, meta, last_v, attrs,
 
 def _shard_exact(mesh, axis, fn, meta, attrs, *rest):
     """Run ``fn(meta, attrs, *rest)`` sharded over the virtual-tile axis
-    (meta on its second axis; rest shards like attrs except the last
-    operand — bg — which is replicated)."""
+    (meta on its second axis; rest shards like attrs except the FIRST
+    rest operand — bg, first at every call site — which is replicated)."""
     if mesh is None:
         return fn(meta, attrs, *rest)
     from jax import shard_map

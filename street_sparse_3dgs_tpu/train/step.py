@@ -66,12 +66,18 @@ def init_state(params: GaussianParams, active, n_images: int) -> TrainState:
 
 
 def raster_config(pipe: PipelineConfig) -> RasterConfig:
+    if pipe.exact_extra < 0:
+        raise ValueError(
+            "exact_extra == -1 (self-sizing) must be resolved by the train "
+            "loop's autosizer before building a step")
     return RasterConfig(method=pipe.raster_method, max_dup=pipe.max_dup,
                         tile_capacity=pipe.tile_capacity,
                         tiles_chunk=pipe.tiles_chunk,
                         exact_extra=pipe.exact_extra,
                         grad_sort=pipe.grad_sort,
-                        grad_reduce=pipe.grad_reduce)
+                        grad_reduce=pipe.grad_reduce,
+                        dup_overscan=pipe.dup_overscan,
+                        dup_tails=tuple(pipe.dup_tails))
 
 
 def make_train_step(
@@ -244,6 +250,20 @@ def make_train_step(
                "n_visible": jnp.sum(visible),
                "dup_overflow": out["dup_overflow"],
                "tile_overflow": out["tile_overflow"]}
+        if cfg.grad_reduce == "counts" and cfg.exact_extra:
+            # Corrupted-gradient guard (VERDICT r4 item 2): the counts-based
+            # backward is only sound at tile_overflow == 0 — window-budget
+            # drops shift every later rank's gradient segment.  On an
+            # overflowing step REVERT the whole update in-step (no host
+            # sync; the step counter still advances so the loop proceeds)
+            # and surface ``update_skipped``; the loop's overflow check
+            # grows ``exact_extra`` and re-jits.  Corrupted gradients are
+            # never applied.
+            ok = out["tile_overflow"] == 0
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_state, state._replace(step=it))
+            aux["update_skipped"] = jnp.where(ok, 0, 1).astype(jnp.int32)
         return new_state, aux
 
     def step(state: TrainState, batch: CameraBatch):
