@@ -375,7 +375,7 @@ def _coords_of_tile(tiles_x: int, t):
     return px, py
 
 
-def _make_fwd_kernel_exact(tiles_x: int, tb: int):
+def _make_fwd_kernel_exact(tiles_x: int, tb: int, t_mod: int = 0):
     def kernel(meta_ref, attrs_ref, bg_ref, out_ref, state_ref):
         k_cap = attrs_ref.shape[2]
         n_blocks = k_cap // KB
@@ -385,7 +385,10 @@ def _make_fwd_kernel_exact(tiles_x: int, tb: int):
             t = meta_ref[MT_T, vt]
             w = meta_ref[MT_W, vt]
             count = meta_ref[MT_CNT, vt]
-            px, py = _coords_of_tile(tiles_x, t)
+            # Multi-view batches (parallel/tp.py): tile ids are GLOBAL
+            # (view · t_mod + local) so the backward can broadcast each
+            # view's finals; pixel coords wrap to the local id.
+            px, py = _coords_of_tile(tiles_x, t % t_mod if t_mod else t)
             first = w == 0
             ld = lambda r: state_ref[:, r:r + 1]             # [P, 1]
             sel = lambda r, init: jnp.where(first, init, ld(r))
@@ -482,7 +485,8 @@ BS_TLOG, BS_SUF, BS_GR, BS_GG, BS_GB, BS_GIVD, BS_GACC, BS_NC, BS_GTF = \
     range(9)
 
 
-def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
+def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int,
+                           t_mod: int = 0):
     def kernel(meta_ref, attrs_ref, bg_ref, saved_ref, g_ref, d_ref,
                state_ref):
         k_cap = attrs_ref.shape[2]
@@ -496,7 +500,7 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
             w = meta_ref[MT_W, vt]
             count = meta_ref[MT_CNT, vt]
             is_last = meta_ref[MT_LAST, vt]
-            px, py = _coords_of_tile(tiles_x, t)
+            px, py = _coords_of_tile(tiles_x, t % t_mod if t_mod else t)
             base_global = (w * k_cap).astype(jnp.float32)
             last = is_last > 0
 
@@ -602,21 +606,37 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _blend_exact(interpret, tiles_x, tb, mesh, axis, meta, last_v, attrs,
-                 bg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _blend_exact(interpret, tiles_x, tb, mesh, axis, t_mod, meta, last_v,
+                 attrs, bg):
     """Exact (virtual-tile) blend: ``attrs`` [T_v, 10, K] over virtual
     tiles described by ``meta`` [4, T_v] (rows: real tile, window index,
     window pair count, is-last-window); returns the per-REAL-tile packed
-    output [T, 8, P] selected at ``last_v``.
+    output selected at ``last_v``.
 
     With ``mesh``/``axis`` the kernels run under ``shard_map`` with the
-    virtual-tile axis sharded: binning's shard-segmented allocation
-    (``exact_shards``) guarantees shard boundaries never split a tile's
-    windows, so each device's scratch carry stays local."""
-    out, _ = _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, meta,
-                              last_v, attrs, bg)
+    virtual-tile axis sharded (``axis`` may be a tuple of mesh axes —
+    multi-view training, ``parallel/tp.py``): binning's shard-segmented
+    allocation (``exact_shards``) guarantees shard boundaries never split
+    a tile's windows, so each device's scratch carry stays local.
+
+    ``t_mod > 0`` (multi-view concatenation): meta tile ids are GLOBAL
+    (``view · t_mod + local``) — the kernels wrap them for pixel coords,
+    while the backward broadcast and ``last_v`` stay in global id space."""
+    out, _ = _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, t_mod,
+                              meta, last_v, attrs, bg)
     return out
+
+
+def _axis_size(mesh, axis) -> int:
+    if mesh is None:
+        return 1
+    if isinstance(axis, (tuple, list)):
+        s = 1
+        for a in axis:
+            s *= mesh.shape[a]
+        return s
+    return mesh.shape[axis]
 
 
 def _shard_exact(mesh, axis, fn, meta, attrs, *rest):
@@ -628,18 +648,19 @@ def _shard_exact(mesh, axis, fn, meta, attrs, *rest):
     from jax import shard_map
     from jax.sharding import PartitionSpec as PSpec
 
+    ax = tuple(axis) if isinstance(axis, (tuple, list)) else axis
     n_rest = len(rest)
-    in_specs = (PSpec(None, axis), PSpec(axis)) + \
-        (PSpec(),) + (PSpec(axis),) * (n_rest - 1)
+    in_specs = (PSpec(None, ax), PSpec(ax)) + \
+        (PSpec(),) + (PSpec(ax),) * (n_rest - 1)
     return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                     out_specs=PSpec(axis), check_vma=False)(
+                     out_specs=PSpec(ax), check_vma=False)(
         meta, attrs, *rest)
 
 
-def _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, meta, last_v,
-                     attrs, bg):
+def _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, t_mod, meta,
+                     last_v, attrs, bg):
     nv, _, k_cap = attrs.shape
-    n_local = nv // (mesh.shape[axis] if mesh is not None else 1)
+    n_local = nv // _axis_size(mesh, axis)
     if n_local % tb:
         raise ValueError(f"local virtual tile count {n_local} not "
                          f"divisible by {tb}")
@@ -651,7 +672,7 @@ def _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, meta, last_v,
         bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)
         return pl.pallas_call(
-            _make_fwd_kernel_exact(tiles_x, tb), grid=(nvl // tb,),
+            _make_fwd_kernel_exact(tiles_x, tb, t_mod), grid=(nvl // tb,),
             in_specs=[meta_spec,
                       pl.BlockSpec((tb, N_CH, k_cap), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -668,7 +689,7 @@ def _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, meta, last_v,
     return out, (meta, last_v, attrs, bg, out)
 
 
-def _blend_exact_bwd(interpret, tiles_x, tb, mesh, axis, res, g_out):
+def _blend_exact_bwd(interpret, tiles_x, tb, mesh, axis, t_mod, res, g_out):
     meta, last_v, attrs, bg, out_sel = res
     nv, _, k_cap = attrs.shape
     t_total = out_sel.shape[0]
@@ -695,7 +716,7 @@ def _blend_exact_bwd(interpret, tiles_x, tb, mesh, axis, res, g_out):
                                lambda i: (nprog - 1 - i, 0, 0),
                                memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            _make_bwd_kernel_exact(tiles_x, tb, nprog), grid=(nprog,),
+            _make_bwd_kernel_exact(tiles_x, tb, nprog, t_mod), grid=(nprog,),
             in_specs=[meta_spec, rev_attrs, bg_spec, rev_out, rev_out],
             out_specs=rev_attrs,
             out_shape=jax.ShapeDtypeStruct((nvl, N_CH, k_cap), attrs.dtype),
@@ -1072,7 +1093,7 @@ def blend_tiles_pallas(
                  .at[MT_LAST].set(1)], axis=1)
             attrs = jnp.concatenate(
                 [attrs, jnp.zeros((pad,) + attrs.shape[1:], attrs.dtype)])
-        out = _blend_exact(interp, tiles_x, tb, None, None, meta,
+        out = _blend_exact(interp, tiles_x, tb, None, None, 0, meta,
                            bins.last_v, attrs, bg[None, :])   # [T, 8, P]
 
         def to_image(flat, channels):

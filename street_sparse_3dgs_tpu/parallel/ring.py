@@ -76,6 +76,21 @@ def rasterize_ring_staged(
     per-Gaussian ``radii``/``visibility``, sharded like the inputs).
     ``mean2d_residual`` [N, 2] is the screen-grad densify-stats hook (the
     ``retain_grad`` trick), sharded like the Gaussians."""
+    if config.exact_extra:
+        # Exact (virtual-tile) windows are deliberately NOT implemented on
+        # the ring: its per-chip memory bound is the banked pair table
+        # (n_dev · stage_pair_capacity rows), not the [t_local, K] blend
+        # input — with tiles already sharded n_dev-ways, t_local is small
+        # enough that raising tile_capacity directly (K = 1024+ per chip
+        # costs what K = 128 costs single-device) is the honest capacity
+        # lever, and the ring's per-stage banking would need a second
+        # dynamic allocation pass to place windows.  Fail loudly instead
+        # of silently truncating at a K the caller believes is uncapped
+        # (advisor r4 note).
+        raise ValueError(
+            "rasterize_ring_staged does not support exact_extra; raise "
+            "tile_capacity (per-chip tiles are 1/n of the image) or use "
+            "the tile-sharded exact path for models that fit per-chip HBM")
     n_dev = mesh.shape[axis]
     n = means3d.shape[0]
     if n % n_dev:

@@ -139,7 +139,7 @@ def _rasterize_tile_sharded_exact(proj, h, w, bg, mesh, config, interpret):
     meta = jnp.stack([t_safe, bins.wt, bins.vcounts, is_last])  # [4, T_v]
 
     interp = _interpret_default() if interpret is None else interpret
-    out = _blend_exact(interp, tiles_x, tb, mesh, "tile", meta,
+    out = _blend_exact(interp, tiles_x, tb, mesh, "tile", 0, meta,
                        bins.last_v, attrs, bg[None, :])    # [T, 8, P]
 
     def to_image(flat, channels):

@@ -42,8 +42,8 @@ from ..core.schedules import expon_lr
 from ..models import adam
 from ..models.gaussians import (GaussianMeta, GaussianParams, activate_opacity,
                                 activate_scales, apply_exposure, sh_coeffs)
-from ..ops.binning import TILE, bin_gaussians
-from ..ops.pallas_blend import (OA, OB, OI, OR, _blend_packed,
+from ..ops.binning import TILE, bin_gaussians, num_tiles
+from ..ops.pallas_blend import (OA, OB, OI, OR, _blend_exact, _blend_packed,
                                 _interpret_default, pack_gather_attrs)
 from ..ops.preprocess import project_gaussians
 from ..train import losses
@@ -77,18 +77,25 @@ def rasterize_batch_tile_sharded(
     cam0 = jax.tree.map(lambda x: x[0], cameras)
     h, w = cam0.height, cam0.width
 
-    attrs_views, projs, bins_list = [], [], []
+    projs = []
     for i in range(b):
         cam = jax.tree.map(lambda x: x[i], cameras)
         proj = project_gaussians(means3d, scales, quats, opacities, shs,
                                  cam, sh_degree, 1.0, active_mask)
         if mean2d_residual is not None:
             proj = proj._replace(mean2d=proj.mean2d + mean2d_residual[i])
+        projs.append(proj)
+
+    if cfg.exact_extra:
+        return _rasterize_batch_exact(projs, h, w, bgs, mesh, axes,
+                                      n_shards, cfg, interpret)
+
+    attrs_views, bins_list = [], []
+    for proj in projs:
         bins = bin_gaussians(proj, h, w, cfg.max_dup, cfg.tile_capacity)
         attrs_views.append(pack_gather_attrs(
             bins.gather, proj.mean2d, proj.conic, proj.color,
             proj.opacity, proj.inv_depth, order=bins.order, rank=bins.rank))
-        projs.append(proj)
         bins_list.append(bins)
 
     tiles_x, tiles_y = bins_list[0].tiles_x, bins_list[0].tiles_y
@@ -140,6 +147,100 @@ def rasterize_batch_tile_sharded(
     depths = jnp.stack([to_image(out[i, :, OI:OI + 1, :], 1)
                         for i in range(b)])
     alphas = jnp.stack([to_image(out[i, :, OA:OA + 1, :], 1)[0]
+                        for i in range(b)])
+    return {
+        "render": images, "depth": depths, "alpha": alphas,
+        "radii": jnp.stack([p.radius for p in projs]),
+        "visibility": jnp.stack([p.valid for p in projs]),
+        "dup_overflow": sum(bn.dup_overflow for bn in bins_list),
+        "tile_overflow": sum(bn.tile_overflow for bn in bins_list),
+    }
+
+
+def _rasterize_batch_exact(projs, h, w, bgs, mesh, axes, n_shards, cfg,
+                           interpret):
+    """Exact (virtual-tile) multi-view blend, sharded over the mesh.
+
+    Each view bins with the shard-segmented window allocation
+    (``exact_shards = n_shards``), so its virtual-tile range is
+    ``n_shards`` static segments of ``l_v`` windows whose boundaries never
+    split a tile's windows.  The concatenated [B·T_v] axis is therefore
+    ``B·n_shards`` such segments, and any device boundary (a multiple of
+    ``B·l_v``) lands on a segment boundary — every tile's cross-window
+    VMEM scratch carry stays device-local.  Tile ids ride meta GLOBALLY
+    (``view · tpp + local``; the kernels wrap by the static ``t_mod=tpp``
+    for pixel coords), which keeps the backward's per-real-tile broadcast
+    unambiguous across views.
+
+    Per-view random backgrounds cannot ride the exact kernels' single
+    replicated SMEM bg, so the blend runs on a ZERO background and the
+    composite happens outside: ``image = rgb + (1 − alpha) · bg`` — exact,
+    because the blend's alpha output is ``1 − T_final``, and
+    differentiable through the backward's handled alpha cotangent."""
+    b = len(projs)
+    tiles_x, tiles_y = num_tiles(h, w)
+    t_total = tiles_x * tiles_y
+    extra = -(-cfg.exact_extra // n_shards) * n_shards
+    with_counts = cfg.grad_reduce == "counts"
+
+    kw = dict(exact_extra=extra, exact_shards=n_shards,
+              with_seg_pos=with_counts, dup_overscan=cfg.dup_overscan)
+    if cfg.dup_tails:
+        kw["dup_tails"] = cfg.dup_tails
+
+    attrs_l, meta_l, lastv_l, bins_list = [], [], [], []
+    t_v = tpp = None
+    for i, proj in enumerate(projs):
+        bins = bin_gaussians(proj, h, w, cfg.max_dup, cfg.tile_capacity,
+                             **kw)
+        attrs_l.append(pack_gather_attrs(
+            bins.gather, proj.mean2d, proj.conic, proj.color, proj.opacity,
+            proj.inv_depth, order=bins.order, rank=bins.rank,
+            grad_sort=cfg.grad_sort, seg_pos=bins.seg_pos))
+        t_v = bins.t_of_v.shape[0]
+        tpp = t_v - extra                     # shard-padded real-tile count
+        used = bins.t_of_v < tpp
+        t_glob = jnp.where(used, i * tpp + bins.t_of_v, b * tpp)
+        t_safe = jnp.minimum(bins.t_of_v, t_total - 1)
+        is_last = ((bins.t_of_v >= t_total)
+                   | (jnp.arange(t_v, dtype=jnp.int32)
+                      == bins.last_v[t_safe])).astype(jnp.int32)
+        meta_l.append(jnp.stack([t_glob, bins.wt, bins.vcounts, is_last]))
+        # Last window of EVERY padded tile (real + shard padding) — shard
+        # padding tiles carry one zero-count window each; their outputs
+        # are never read (zero cotangent) but the backward broadcast
+        # indexes them, so the table must stay in-bounds and consistent.
+        lastv_full = jnp.zeros((tpp + 1,), jnp.int32).at[
+            jnp.where(used, bins.t_of_v, tpp)].max(
+            jnp.arange(t_v, dtype=jnp.int32))[:tpp]
+        lastv_l.append(i * t_v + lastv_full)
+        bins_list.append(bins)
+
+    attrs = jnp.concatenate(attrs_l, axis=0)          # [B·T_v, 10, K]
+    meta = jnp.concatenate(meta_l, axis=1)            # [4, B·T_v]
+    last_v = jnp.concatenate(lastv_l)                 # [B·tpp]
+    n_local = (b * t_v) // n_shards
+    tb = next(d for d in (8, 4, 2, 1) if n_local % d == 0)
+
+    interp = _interpret_default() if interpret is None else interpret
+    zero_bg = jnp.zeros((1, 3), jnp.float32)
+    out = _blend_exact(interp, tiles_x, tb, mesh, tuple(axes), tpp, meta,
+                       last_v, attrs, zero_bg)        # [B·tpp, 8, P]
+    out = out.reshape(b, tpp, 8, TILE * TILE)
+
+    def to_image(flat, channels):
+        img = flat[:t_total].reshape(tiles_y, tiles_x, channels, TILE, TILE)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            channels, tiles_y * TILE, tiles_x * TILE)
+        return img[:, :h, :w]
+
+    alphas = jnp.stack([to_image(out[i, :, OA:OA + 1, :], 1)[0]
+                        for i in range(b)])
+    images = jnp.stack([
+        to_image(out[i, :, OR:OB + 1, :], 3)
+        + (1.0 - alphas[i])[None] * bgs[i][:, None, None]
+        for i in range(b)])
+    depths = jnp.stack([to_image(out[i, :, OI:OI + 1, :], 1)
                         for i in range(b)])
     return {
         "render": images, "depth": depths, "alpha": alphas,
@@ -207,7 +308,8 @@ def make_tile_sharded_train_step(
             return jnp.where(depth_flags[i], donly, photo)
 
         lv = jnp.stack([view_loss(i) for i in range(b)])
-        return jnp.mean(lv), (out["visibility"], out["radii"])
+        return jnp.mean(lv), (out["visibility"], out["radii"],
+                              out["tile_overflow"], out["dup_overflow"])
 
     @functools.partial(jax.jit, static_argnames=("active_sh",))
     def step_fn(state: TrainState, batch: CameraBatch, active_sh: int = None,
@@ -237,7 +339,7 @@ def make_tile_sharded_train_step(
         else:
             bgs = jnp.broadcast_to(fixed_bg, (b, 3))
 
-        (loss, (vis, radii)), grads = jax.value_and_grad(
+        (loss, (vis, radii, tile_of, dup_of)), grads = jax.value_and_grad(
             batched_loss, argnums=(0, 2, 3), has_aux=True)(
                 state.params, state.active, state.exposure, mean2d_res,
                 batch, active_sh_, depth_w, bgs, depth_flags)
@@ -281,7 +383,19 @@ def make_tile_sharded_train_step(
             params=new_params, adam_state=new_adam, exposure=new_exposure,
             exposure_adam=new_exp_adam, grad_accum=grad_accum, denom=denom,
             max_radii2d=max_radii2d, step=it)
-        return new_state, {"loss": loss, "n_visible": jnp.sum(visible_any)}
+        aux = {"loss": loss, "n_visible": jnp.sum(visible_any),
+               "tile_overflow": tile_of, "dup_overflow": dup_of}
+        if cfg.grad_reduce == "counts" and cfg.exact_extra:
+            # Corrupted-gradient guard — same contract as the serial step
+            # (train/step.py): counts-mode segment boundaries are only
+            # sound at tile_overflow == 0, so an overflowing step reverts
+            # its whole update (the step counter still advances).
+            ok = tile_of == 0
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_state, state._replace(step=it))
+            aux["update_skipped"] = jnp.where(ok, 0, 1).astype(jnp.int32)
+        return new_state, aux
 
     def replicate_all(tree):
         rep = NamedSharding(mesh, P())

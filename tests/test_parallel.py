@@ -429,3 +429,105 @@ def test_tile_sharded_exact_matches_single(scene):
     scale = float(jnp.abs(ga).max()) + 1e-9
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                atol=1e-4 * scale)
+
+
+def test_batch_tile_sharded_exact_matches_serial(scene):
+    """VERDICT r4 item 4: the (data × tile)-sharded TRAINING blend in EXACT
+    (virtual-tile) mode — per-view shard-segmented window allocation,
+    global tile ids with the kernels' t_mod wrap, outside bg composite —
+    must match per-view serial EXACT rasterization in images and grads
+    (counts-based backward included)."""
+    from street_sparse_3dgs_tpu.parallel.tp import rasterize_batch_tile_sharded
+
+    mesh = make_mesh(n_data=2, n_tile=4)
+    # K well below the deepest tile so windows actually wrap; counts-mode
+    # backward exercises seg_pos through the sharded path.
+    cfg = RasterConfig(method="pallas", tile_capacity=128, max_dup=16,
+                       exact_extra=16, grad_reduce="counts")
+    b = 2
+    cams = jax.tree.map(lambda *xs: jnp.stack(xs), *scene.cameras[:b])
+    bgs = jnp.asarray([[0.1, 0.2, 0.3], [0.9, 0.5, 0.0]], jnp.float32)
+
+    serial = [rasterize(scene.means3d, scene.scales, scene.quats,
+                        scene.opacities, scene.sh_coeffs,
+                        jax.tree.map(lambda x: x[i], cams), 3, bgs[i], cfg)
+              for i in range(b)]
+    assert all(int(o["tile_overflow"]) == 0 for o in serial)
+    with mesh:
+        out = rasterize_batch_tile_sharded(
+            scene.means3d, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs, cams, 3, bgs, mesh, config=cfg)
+    assert int(out["tile_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.stack([o["render"] for o in serial]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["alpha"]),
+                               np.stack([o["alpha"] for o in serial]),
+                               atol=2e-5)
+
+    def loss_serial(means, scales):
+        total = 0.0
+        for i in range(b):
+            cam = jax.tree.map(lambda x: x[i], cams)
+            o = rasterize(means, scales, scene.quats, scene.opacities,
+                          scene.sh_coeffs, cam, 3, bgs[i], cfg)
+            total = total + jnp.mean(o["render"] ** 2) \
+                + 0.3 * jnp.mean(o["depth"] ** 2)
+        return total / b
+
+    def loss_sharded(means, scales):
+        o = rasterize_batch_tile_sharded(
+            means, scales, scene.quats, scene.opacities, scene.sh_coeffs,
+            cams, 3, bgs, mesh, config=cfg)
+        return jnp.mean(o["render"] ** 2) + 0.3 * jnp.mean(o["depth"] ** 2)
+
+    ga = jax.grad(loss_serial, argnums=(0, 1))(scene.means3d, scene.scales)
+    with mesh:
+        gb = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
+            scene.means3d, scene.scales)
+    for a, b_ in zip(ga, gb):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=3e-4 * scale, rtol=2e-3)
+
+
+def test_tile_sharded_exact_train_step_runs(scene):
+    """The exact+counts tile-sharded train STEP executes end-to-end on the
+    mesh (guard wired: update_skipped aux present, 0 at a clean budget)."""
+    from street_sparse_3dgs_tpu.parallel.tp import make_tile_sharded_train_step
+
+    key = jax.random.PRNGKey(0)
+    params, active, meta = create_from_pcd(
+        key, np.asarray(scene.means3d),
+        np.full((scene.means3d.shape[0], 3), 0.5), capacity=256)
+    opt = OptimizationConfig()
+    pipe = PipelineConfig(tile_capacity=128, max_dup=16,
+                          raster_method="pallas", exact_extra=16,
+                          grad_reduce="counts")
+    b = 4
+    batch = _mixed_batch(scene, b)
+    mesh = make_mesh(n_data=2, n_tile=4)
+    step, replicate = make_tile_sharded_train_step(meta, opt, pipe, 1.0,
+                                                   mesh)
+    state0 = init_state(params, active, n_images=b)
+    with mesh:
+        state1, aux = step(replicate(state0), replicate(batch), 3,
+                           jnp.zeros((b,), bool))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(aux["update_skipped"]) == 0
+    assert int(aux["tile_overflow"]) == 0
+    assert not np.allclose(np.asarray(state1.params.xyz),
+                           np.asarray(state0.params.xyz))
+
+
+def test_ring_rejects_exact_mode(scene):
+    """Advisor r4: the ring path must fail loudly (not silently truncate)
+    when a config requests exact virtual-tile windows."""
+    from street_sparse_3dgs_tpu.parallel.ring import rasterize_ring_staged
+
+    mesh = make_mesh(n_data=1, n_tile=4, devices=jax.devices()[:4])
+    cfg = RasterConfig(method="pallas", tile_capacity=128, exact_extra=64)
+    with pytest.raises(ValueError, match="exact_extra"):
+        rasterize_ring_staged(
+            scene.means3d, scene.scales, scene.quats, scene.opacities,
+            scene.sh_coeffs, scene.cameras[0], 3, jnp.zeros(3), mesh, cfg)
