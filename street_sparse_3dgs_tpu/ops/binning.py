@@ -304,13 +304,23 @@ def _tail_bucket(kept, tile_id, inv_rank, n, start, budget, width, t_total):
     granted tail-slot count (for the per-row emitted-pair accounting).
     Members are prioritized near-camera-first by their depth rank."""
     flag = kept > start
-    excess = jnp.clip(kept - start, 0, width)
+    excess = jnp.clip(kept - start, 0, width).astype(jnp.int32)
     # Members first, nearest first; sentinel n sorts all non-members last.
     member = jnp.where(flag, inv_rank, jnp.int32(n))
     rows = jnp.arange(n, dtype=jnp.int32)
-    member, sel_row, sel_excess = jax.lax.sort(
-        (member, rows, excess.astype(jnp.int32)), num_keys=1,
-        is_stable=False)
+    bits_e = max(1, int(width).bit_length())
+    if max(1, int(n).bit_length()) + bits_e <= 31:
+        # excess ≤ width rides the member key's low bits (non-members all
+        # carry excess 0, so duplicate sentinel keys are harmless): one
+        # operand fewer through each tail sort.
+        packed = (member << bits_e) | excess
+        packed, sel_row = jax.lax.sort((packed, rows), num_keys=1,
+                                       is_stable=False)
+        member = packed >> bits_e
+        sel_excess = packed & ((1 << bits_e) - 1)
+    else:
+        member, sel_row, sel_excess = jax.lax.sort(
+            (member, rows, excess), num_keys=1, is_stable=False)
     valid = member[:budget] < n
     lost = jnp.sum(excess) - jnp.sum(jnp.where(valid, sel_excess[:budget], 0))
     sel_safe = jnp.where(valid, sel_row[:budget], 0)
@@ -439,10 +449,20 @@ def bin_gaussians(proj: Projected, height: int, width: int,
     keep = in_range & (qmin <= qcap[:, None])
     # Per-row compaction: surviving tiles first, then slice to max_dup —
     # a wide-rect gaussian whose real (elliptical) footprint fits max_dup
-    # no longer loses tiles to dead rect corners.
-    _, tile_id = jax.lax.sort(
-        ((~keep).astype(jnp.int32), tile_id), num_keys=1, is_stable=True,
-        dimension=1)
+    # no longer loses tiles to dead rect corners.  A row's rect tiles are
+    # DISTINCT, so packing the drop flag above the tile id gives unique
+    # keys and a single-operand unstable sort (4.3 → ~2.5 ms at street
+    # scale; the flag bit unpacks off with the mask).
+    bits_t = (t_total + 1).bit_length()
+    if bits_t + 1 <= 31:
+        packed_kt = ((~keep).astype(jnp.int32) << bits_t) | tile_id
+        packed_kt = jax.lax.sort((packed_kt,), num_keys=1, is_stable=False,
+                                 dimension=1)[0]
+        tile_id = packed_kt & ((1 << bits_t) - 1)
+    else:
+        _, tile_id = jax.lax.sort(
+            ((~keep).astype(jnp.int32), tile_id), num_keys=1,
+            is_stable=True, dimension=1)
     kept = jnp.sum(keep, axis=1)
     live = jnp.arange(max_dup, dtype=jnp.int32)[None, :] < \
         jnp.minimum(kept, max_dup)[:, None]
@@ -546,8 +566,13 @@ def bin_gaussians(proj: Projected, height: int, width: int,
         nw = 1 + jnp.clip(e_s - ecum, 0, extra_need)    # [S, L]
         cum = jnp.cumsum(nw, axis=1)                    # [S, L]
         vv = jnp.arange(l_v, dtype=jnp.int32)
-        tloc = jax.vmap(lambda c: jnp.searchsorted(
-            c.astype(jnp.int32), vv, side="right"))(cum).astype(jnp.int32)
+        # searchsorted(cum, vv, 'right') as a broadcast compare+count: the
+        # [S, L, L_v] fused compare-reduce runs at VPU rates (~0.3 ms at
+        # street scale) where XLA's searchsorted lowers to a while loop of
+        # serial probe fusions (measured 3.2 ms on v5e).
+        tloc = jnp.sum((cum.astype(jnp.int32)[:, :, None]
+                        <= vv[None, None, :]).astype(jnp.int32),
+                       axis=1)                          # [S, L_v]
         used = tloc < ln                                # [S, L_v]
         tloc_safe = jnp.minimum(tloc, ln - 1)
         take = jax.vmap(lambda a, i: a[i])

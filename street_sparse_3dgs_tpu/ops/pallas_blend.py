@@ -359,10 +359,71 @@ def _bwd_one_tile(tiles_x, t_mod, per_tile_bg, sub, n_blocks, tri_suf,
 
 # Rows of the [4, T_v] SMEM meta array.
 MT_T, MT_W, MT_CNT, MT_LAST = range(4)
-# Scratch state COLUMNS ([256, 8] — pixel-major, matching the kernels'
-# [P, 1] per-pixel column carries so save/load is a plain column copy,
-# never a sublane→lane transpose) carried across a tile's windows (fwd).
+# Scratch state ROWS ([8, 256]) carried across a tile's windows (fwd).
+#
+# TRANSPOSED orientation (round-5): the exact kernels put PIXELS ON LANES —
+# work shape [KB, P], per-pixel carries [1, P], state scratch [8, P] with
+# native row access, attrs PAIR-major [T_v, K, 10] so channel loads are
+# [KB, 1] sublane slices.  Rationale (measured, tools/kernel_floor_tpu.py):
+# in the row orientation every [P, 1] per-pixel column op occupies 32
+# nearly-empty (8,128) vregs, so the per-WINDOW mechanics (carry selects,
+# coords, state/out writes) cost 16.0 ms of the 32.6 ms street fwd kernel
+# — the same mechanics transposed cost 4.8 ms.  The [KB, P] block math has
+# the same vreg count as [P, KB]; the triangular cumsums become LEFT
+# matmuls (tri @ x) on the MXU; lane reductions become sublane reductions;
+# the outputs assemble as [8, P] rows with NO final transpose; the
+# backward's saved/g rows read natively ([1, P]).
 ST_TLOG, ST_NC, ST_R, ST_G, ST_B, ST_IVD, ST_ACC, ST_ALIVE = range(8)
+
+
+def _tri_left(inclusive: bool) -> jnp.ndarray:
+    """[KB,KB] M for LEFT multiplication: (M @ x)[k] = Σ_j M[k,j]·x[j] —
+    inclusive prefix (j ≤ k) or strict suffix (j > k) along sublanes."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (KB, KB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (KB, KB), 1)
+    return ((col <= row) if inclusive else (col > row)).astype(jnp.float32)
+
+
+def _tri_dot_left(tri, x):
+    """``tri @ x`` at near-f32 accuracy in two MXU passes (hi/lo bf16
+    split of x; the 0/1 matrix is exact in bf16) — the left-mult twin of
+    ``_tri_dot``."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tb_ = tri.astype(jnp.bfloat16)
+    return (jnp.dot(tb_, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(tb_, lo, preferred_element_type=jnp.float32))
+
+
+def _dot_hl2_c0(a, b):
+    """``aᵀ @ b`` contracting axis 0 of both, hi/lo bf16-split on both
+    operands (4 MXU passes, all cross terms — f32-accumulation rounding
+    only)."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((0,), (0,)), ((), ()))
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dims, preferred_element_type=jnp.float32)
+    return (d(ah, bh) + d(ah, bl)) + (d(al, bh) + d(al, bl))
+
+
+def _alpha_block_t(attrs_ref, sl, px, py, nvalid, sub=0):
+    """Transposed twin of ``_alpha_block``: attrs PAIR-major [tb, K, 10],
+    channel loads are [KB, 1] sublane slices, pixels ride lanes — returns
+    [KB, P] alpha (+aux terms)."""
+    ch = lambda c: attrs_ref[sub, sl, c:c + 1].astype(jnp.float32)  # [KB,1]
+    dx = px - ch(MX)                                   # [KB, P]
+    dy = py - ch(MY)
+    a, b, c = ch(CA), ch(CB), ch(CC)
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    raw = ch(OP) * expp
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0)
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & (slot < nvalid)
+    return jnp.where(ok, alpha, 0.0), ok, raw, expp, dx, dy, a, b, c
 
 
 def _coords_of_tile(tiles_x: int, t):
@@ -377,9 +438,9 @@ def _coords_of_tile(tiles_x: int, t):
 
 def _make_fwd_kernel_exact(tiles_x: int, tb: int, t_mod: int = 0):
     def kernel(meta_ref, attrs_ref, bg_ref, out_ref, state_ref):
-        k_cap = attrs_ref.shape[2]
+        k_cap = attrs_ref.shape[1]                       # pair-major [tb,K,C]
         n_blocks = k_cap // KB
-        tri = _tri(False)
+        tri = _tri_left(True)
         for sub in range(tb):
             vt = pl.program_id(0) * tb + sub
             t = meta_ref[MT_T, vt]
@@ -388,18 +449,23 @@ def _make_fwd_kernel_exact(tiles_x: int, tb: int, t_mod: int = 0):
             # Multi-view batches (parallel/tp.py): tile ids are GLOBAL
             # (view · t_mod + local) so the backward can broadcast each
             # view's finals; pixel coords wrap to the local id.
-            px, py = _coords_of_tile(tiles_x, t % t_mod if t_mod else t)
+            tl = t % t_mod if t_mod else t
+            ox = ((tl % tiles_x) * TILE).astype(jnp.float32)
+            oy = ((tl // tiles_x) * TILE).astype(jnp.float32)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            px = ox + (idx % TILE).astype(jnp.float32)   # [1, P]
+            py = oy + (idx // TILE).astype(jnp.float32)
             first = w == 0
-            ld = lambda r: state_ref[:, r:r + 1]             # [P, 1]
+            ld = lambda r: state_ref[r:r + 1, :]             # [1, P]
             sel = lambda r, init: jnp.where(first, init, ld(r))
-            z = jnp.zeros((P, 1), jnp.float32)
+            z = jnp.zeros((1, P), jnp.float32)
             tlog = sel(ST_TLOG, z)
             nc = sel(ST_NC, z)
-            rgb = jnp.where(first, jnp.zeros((P, 3), jnp.float32),
-                            state_ref[:, ST_R:ST_B + 1])
+            rgb = jnp.where(first, jnp.zeros((3, P), jnp.float32),
+                            state_ref[ST_R:ST_B + 1, :])
             ivd = sel(ST_IVD, z)
             acc = sel(ST_ACC, z)
-            alive = sel(ST_ALIVE, jnp.ones((P, 1), jnp.float32))
+            alive = sel(ST_ALIVE, jnp.ones((1, P), jnp.float32))
 
             def body(kb, carry):
                 tlog, nc, rgb, ivd, acc, alive = carry
@@ -407,30 +473,30 @@ def _make_fwd_kernel_exact(tiles_x: int, tb: int, t_mod: int = 0):
 
                 def live(_):
                     sl = pl.ds(kb * KB, KB)
-                    alpha, *_ = _alpha_block(attrs_ref, sl, px, py,
-                                             count - kb * KB, sub)
-                    log_om = jnp.log1p(-alpha)
-                    cum = _tri_dot(log_om, tri)
+                    alpha, *_ = _alpha_block_t(attrs_ref, sl, px, py,
+                                               count - kb * KB, sub)
+                    log_om = jnp.log1p(-alpha)           # [KB, P]
+                    cum = _tri_dot_left(tri, log_om)
                     fail = (tlog + cum) < LOG_EPS
                     include = (~fail) & (alive > 0.5)
                     t_excl = jnp.exp(tlog + cum - log_om)
                     wgt = jnp.where(include, alpha * t_excl, 0.0)
-                    # Color/invdepth/alpha accumulation as ONE [P,KB]@[KB,5]
-                    # MXU dot (4-pass hi/lo, exact): frees the VPU — the
-                    # kernels' limiter — of 5 lane reductions.  tlog/nc
-                    # sums stay on the VPU (they gate termination).
+                    # Color/invdepth/alpha accumulation as ONE [KB,5]ᵀ@[KB,P]
+                    # MXU contraction (4-pass hi/lo, exact): frees the VPU
+                    # of 5 sublane reductions.  tlog/nc sums stay on the
+                    # VPU (they gate termination).
                     cmat = jnp.concatenate(
-                        [attrs_ref[sub, c, sl][:, None].astype(jnp.float32)
-                         for c in (CR, CG, CB_, ID)]
-                        + [jnp.ones((KB, 1), jnp.float32)], axis=1)  # [KB,5]
-                    out5 = _dot_hl2(wgt, cmat)             # [P, 5]
-                    alive_n = jnp.where(fail[:, -1:], 0.0, alive)
+                        [attrs_ref[sub, sl, CR:CB_ + 1].astype(jnp.float32),
+                         attrs_ref[sub, sl, ID:ID + 1].astype(jnp.float32),
+                         jnp.ones((KB, 1), jnp.float32)], axis=1)  # [KB, 5]
+                    out5 = _dot_hl2_c0(cmat, wgt)        # [5, P]
+                    alive_n = jnp.where(fail[-1:, :], 0.0, alive)
                     return (tlog + jnp.sum(jnp.where(include, log_om, 0.0),
-                                           axis=1, keepdims=True),
+                                           axis=0, keepdims=True),
                             nc + jnp.sum(include.astype(jnp.float32),
-                                         axis=1, keepdims=True),
-                            rgb + out5[:, 0:3], ivd + out5[:, 3:4],
-                            acc + out5[:, 4:5],
+                                         axis=0, keepdims=True),
+                            rgb + out5[0:3, :], ivd + out5[3:4, :],
+                            acc + out5[4:5, :],
                             alive_n)
 
                 return jax.lax.cond(all_done, lambda _: carry, live, None)
@@ -454,44 +520,35 @@ def _make_fwd_kernel_exact(tiles_x: int, tb: int, t_mod: int = 0):
             @pl.when(is_last == 0)
             def _():
                 state_ref[...] = jnp.concatenate(
-                    [tlog, nc, rgb, ivd, acc, alive], axis=1)    # [P, 8]
+                    [tlog, nc, rgb, ivd, acc, alive], axis=0)    # [8, P]
 
             @pl.when(is_last > 0)
             def _():
                 t_final = jnp.exp(tlog)
                 rgb_out = rgb + jnp.concatenate(
                     [t_final * bg_ref[0, 0], t_final * bg_ref[0, 1],
-                     t_final * bg_ref[0, 2]], axis=1)
-                pad = jnp.zeros((P, 1), jnp.float32)
-                # Channel-major [8, P] like the padded kernel: the .T costs
-                # a sublane→lane transpose but runs once per REAL tile (the
-                # pl.when gate), and the channel-major residual keeps the
-                # backward's [T_v ← T] row broadcasts fusible in XLA
-                # (pixel-major forms forced ~27 ms of relayout ops).
-                out = jnp.concatenate(
-                    [rgb_out, ivd, acc, tlog, nc, pad], axis=1)
-                out_ref[sub] = out.T
+                     t_final * bg_ref[0, 2]], axis=0)
+                pad = jnp.zeros((1, P), jnp.float32)
+                out_ref[sub] = jnp.concatenate(
+                    [rgb_out, ivd, acc, tlog, nc, pad], axis=0)  # [8, P]
 
     return kernel
 
 
-# Scratch columns of the backward [P, 9] state: the (transmittance-after,
-# gradient-suffix) carry plus the per-REAL-tile finals cached at the
-# tile's last window — saved/g blocks stay channel-major (their
-# [T_v ← T] row broadcasts fuse in XLA; pixel-major forms forced ~27 ms
-# of relayout), and the 7 sublane→lane column transposes + the bg-term
-# exp run once per real tile instead of once per window.
-BS_TLOG, BS_SUF, BS_GR, BS_GG, BS_GB, BS_GIVD, BS_GACC, BS_NC, BS_GTF = \
-    range(9)
+# Scratch rows of the backward [2, P] state: the (transmittance-after,
+# gradient-suffix) carry.  In the transposed orientation the per-REAL-tile
+# finals (saved/g channel-major rows) read natively as [1, P] lane vectors
+# every window — no caching transposes needed.
+BS_TLOG, BS_SUF = range(2)
 
 
 def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int,
                            t_mod: int = 0):
     def kernel(meta_ref, attrs_ref, bg_ref, saved_ref, g_ref, d_ref,
                state_ref):
-        k_cap = attrs_ref.shape[2]
+        k_cap = attrs_ref.shape[1]                   # pair-major [tb, K, C]
         n_blocks = k_cap // KB
-        tri_suf = _tri(True)
+        tri_suf = _tri_left(False)
         # Virtual tiles processed in DESCENDING order: programs ride
         # reversed index maps, subs iterate high-to-low within the block.
         for sub in range(tb - 1, -1, -1):
@@ -500,33 +557,28 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int,
             w = meta_ref[MT_W, vt]
             count = meta_ref[MT_CNT, vt]
             is_last = meta_ref[MT_LAST, vt]
-            px, py = _coords_of_tile(tiles_x, t % t_mod if t_mod else t)
+            tl = t % t_mod if t_mod else t
+            ox = ((tl % tiles_x) * TILE).astype(jnp.float32)
+            oy = ((tl // tiles_x) * TILE).astype(jnp.float32)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            px = ox + (idx % TILE).astype(jnp.float32)       # [1, P]
+            py = oy + (idx // TILE).astype(jnp.float32)
             base_global = (w * k_cap).astype(jnp.float32)
             last = is_last > 0
 
-            # At the tile's LAST window (first visit in reverse order),
-            # transpose the channel-major finals into scratch columns; all
-            # windows then read scratch — the transposes and the bg-term
-            # exp run once per REAL tile, not once per window.
-            @pl.when(last)
-            def _():
-                row = lambda ref, i: ref[sub, i, :][:, None]   # [P, 1]
-                gr, gg, gb = row(g_ref, OR), row(g_ref, OG), row(g_ref, OB)
-                tlf = row(saved_ref, OT)
-                gtf = (gr * bg_ref[0, 0] + gg * bg_ref[0, 1]
-                       + gb * bg_ref[0, 2]) * jnp.exp(tlf)
-                state_ref[...] = jnp.concatenate(
-                    [tlf, jnp.zeros((P, 1), jnp.float32), gr, gg, gb,
-                     row(g_ref, OI), row(g_ref, OA), row(saved_ref, ON),
-                     gtf], axis=1)                             # [P, 9]
+            row = lambda ref, i: ref[sub, i:i + 1, :]        # [1, P] native
+            g_r, g_g, g_b = row(g_ref, OR), row(g_ref, OG), row(g_ref, OB)
+            g_ivd, g_acc = row(g_ref, OI), row(g_ref, OA)
+            ncontrib = row(saved_ref, ON)
+            tlf = row(saved_ref, OT)
+            g_tfinal = (g_r * bg_ref[0, 0] + g_g * bg_ref[0, 1]
+                        + g_b * bg_ref[0, 2]) * jnp.exp(tlf)
 
-            sc = lambda c: state_ref[:, c:c + 1]               # [P, 1]
-            g_r, g_g, g_b = sc(BS_GR), sc(BS_GG), sc(BS_GB)
-            g_ivd, g_acc = sc(BS_GIVD), sc(BS_GACC)
-            ncontrib = sc(BS_NC)
-            g_tfinal = sc(BS_GTF)
-            tlog_after0 = sc(BS_TLOG)
-            suffix0 = sc(BS_SUF)
+            # At the tile's LAST window (first visit in reverse order) the
+            # carry initializes from the saved final log-transmittance.
+            tlog_after0 = jnp.where(last, tlf, state_ref[BS_TLOG:BS_TLOG + 1])
+            suffix0 = jnp.where(last, jnp.zeros((1, P), jnp.float32),
+                                state_ref[BS_SUF:BS_SUF + 1])
 
             def body(i, carry):
                 kb = n_blocks - 1 - i
@@ -536,24 +588,25 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int,
 
                 def live(_):
                     sl = pl.ds(base, KB)
-                    alpha, ok, raw, expp, dx, dy, a, b, c = _alpha_block(
+                    alpha, ok, raw, expp, dx, dy, a, b, c = _alpha_block_t(
                         attrs_ref, sl, px, py, count - base, sub)
                     kidx = (base_global + base
                             + jax.lax.broadcasted_iota(
-                                jnp.int32, (P, KB), 1).astype(jnp.float32))
-                    include = kidx < ncontrib
+                                jnp.int32, (KB, 1), 0).astype(jnp.float32))
+                    include = kidx < ncontrib                # [KB, P]
                     alpha_i = jnp.where(include, alpha, 0.0)
                     log_om = jnp.log1p(-alpha_i)
-                    suf_in = _tri_dot(log_om, tri_suf)
+                    suf_in = _tri_dot_left(tri_suf, log_om)
                     t_excl = jnp.exp(tlog_after - (suf_in + log_om))
                     wgt = alpha_i * t_excl
 
-                    ch = lambda cidx: attrs_ref[sub, cidx, sl][None, :].astype(
-                        jnp.float32)
+                    ch = lambda cidx: attrs_ref[sub, sl,
+                                                cidx:cidx + 1].astype(
+                        jnp.float32)                         # [KB, 1]
                     pg = (g_r * ch(CR) + g_g * ch(CG) + g_b * ch(CB_)
-                          + g_ivd * ch(ID) + g_acc)
+                          + g_ivd * ch(ID) + g_acc)          # [KB, P]
                     wpg = wgt * pg
-                    suf_after = _tri_dot(wpg, tri_suf) + suffix
+                    suf_after = _tri_dot_left(tri_suf, wpg) + suffix
                     one_m = jnp.maximum(1.0 - alpha_i, 1e-4)
                     g_alpha = jnp.where(
                         include & ok,
@@ -561,14 +614,12 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int,
                     g_alpha = jnp.where(raw < ALPHA_MAX, g_alpha, 0.0)
                     g_power = alpha_i * g_alpha
 
-                    # Measured negative (do not redo): routing these 10
-                    # pixel-axis reductions through [1,P]@[P,KB] hi/lo MXU
-                    # dots is +6 ms at street scale — the 2 bf16-split VPU
-                    # ops per element across 10 arrays cost more than the
-                    # sublane reductions they replace (the fwd's single
-                    # [P,KB]@[KB,5] accumulation dot, by contrast, wins).
+                    # Per-slot grads: pixel-axis reductions are LANE
+                    # reductions here, emitting [KB, 1] sublane columns
+                    # that assemble into the pair-major [KB, 10] output
+                    # block natively (no transposes).
                     def col(x):
-                        return jnp.sum(x, axis=0)[None, :]
+                        return jnp.sum(x, axis=1, keepdims=True)  # [KB, 1]
 
                     d_mx = col(g_power * (a * dx + b * dy))
                     d_my = col(g_power * (c * dy + b * dx))
@@ -576,21 +627,21 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int,
                     d_cb = col(g_power * (-dx * dy))
                     d_cc = col(g_power * (-0.5 * dy * dy))
                     d_rgb = jnp.concatenate(
-                        [col(gc * wgt) for gc in (g_r, g_g, g_b)], axis=0)
+                        [col(gc * wgt) for gc in (g_r, g_g, g_b)], axis=1)
                     d_op = col(expp * g_alpha)
                     d_id = col(wgt * g_ivd)
                     block = jnp.concatenate(
                         [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op, d_id],
-                        axis=0)
-                    d_ref[sub, :, sl] = block.astype(d_ref.dtype)
+                        axis=1)                              # [KB, 10]
+                    d_ref[sub, sl, :] = block.astype(d_ref.dtype)
 
-                    return (tlog_after - jnp.sum(log_om, axis=1,
+                    return (tlog_after - jnp.sum(log_om, axis=0,
                                                  keepdims=True),
-                            suffix + jnp.sum(wpg, axis=1, keepdims=True))
+                            suffix + jnp.sum(wpg, axis=0, keepdims=True))
 
                 def dead(_):
                     sl = pl.ds(base, KB)
-                    d_ref[sub, :, sl] = jnp.zeros((N_CH, KB), d_ref.dtype)
+                    d_ref[sub, sl, :] = jnp.zeros((KB, N_CH), d_ref.dtype)
                     return carry
 
                 return jax.lax.cond(block_dead, dead, live, None)
@@ -600,8 +651,8 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int,
             else:
                 tlog_after, suffix = jax.lax.fori_loop(
                     0, n_blocks, body, (tlog_after0, suffix0))
-            state_ref[:, BS_TLOG:BS_SUF + 1] = jnp.concatenate(
-                [tlog_after, suffix], axis=1)
+            state_ref[...] = jnp.concatenate(
+                [tlog_after, suffix], axis=0)                # [2, P]
 
     return kernel
 
@@ -609,10 +660,11 @@ def _make_bwd_kernel_exact(tiles_x: int, tb: int, nprog: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _blend_exact(interpret, tiles_x, tb, mesh, axis, t_mod, meta, last_v,
                  attrs, bg):
-    """Exact (virtual-tile) blend: ``attrs`` [T_v, 10, K] over virtual
-    tiles described by ``meta`` [4, T_v] (rows: real tile, window index,
-    window pair count, is-last-window); returns the per-REAL-tile packed
-    output selected at ``last_v``.
+    """Exact (virtual-tile) blend: ``attrs`` PAIR-major [T_v, K, 10] over
+    virtual tiles described by ``meta`` [4, T_v] (rows: real tile, window
+    index, window pair count, is-last-window); returns the per-REAL-tile
+    packed output selected at ``last_v``.  Kernels run in the TRANSPOSED
+    orientation (see the ST_* note above).
 
     With ``mesh``/``axis`` the kernels run under ``shard_map`` with the
     virtual-tile axis sharded (``axis`` may be a tuple of mesh axes —
@@ -659,7 +711,7 @@ def _shard_exact(mesh, axis, fn, meta, attrs, *rest):
 
 def _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, t_mod, meta,
                      last_v, attrs, bg):
-    nv, _, k_cap = attrs.shape
+    nv, k_cap, _ = attrs.shape
     n_local = nv // _axis_size(mesh, axis)
     if n_local % tb:
         raise ValueError(f"local virtual tile count {n_local} not "
@@ -674,13 +726,13 @@ def _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, t_mod, meta,
         return pl.pallas_call(
             _make_fwd_kernel_exact(tiles_x, tb, t_mod), grid=(nvl // tb,),
             in_specs=[meta_spec,
-                      pl.BlockSpec((tb, N_CH, k_cap), lambda i: (i, 0, 0),
+                      pl.BlockSpec((tb, k_cap, N_CH), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
                       bg_spec],
             out_specs=pl.BlockSpec((tb, N_OUT, P), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nvl, N_OUT, P), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
             interpret=interpret,
         )(meta_l, attrs_l, bg_l)
 
@@ -691,7 +743,7 @@ def _blend_exact_fwd(interpret, tiles_x, tb, mesh, axis, t_mod, meta,
 
 def _blend_exact_bwd(interpret, tiles_x, tb, mesh, axis, t_mod, res, g_out):
     meta, last_v, attrs, bg, out_sel = res
-    nv, _, k_cap = attrs.shape
+    nv, k_cap, _ = attrs.shape
     t_total = out_sel.shape[0]
     # Every window of a real tile needs that tile's FINAL state and output
     # cotangent: broadcast the per-real-tile rows onto virtual tiles.
@@ -709,7 +761,7 @@ def _blend_exact_bwd(interpret, tiles_x, tb, mesh, axis, t_mod, res, g_out):
                                  memory_space=pltpu.SMEM)
         bg_spec = pl.BlockSpec((1, 3), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)
-        rev_attrs = pl.BlockSpec((tb, N_CH, k_cap),
+        rev_attrs = pl.BlockSpec((tb, k_cap, N_CH),
                                  lambda i: (nprog - 1 - i, 0, 0),
                                  memory_space=pltpu.VMEM)
         rev_out = pl.BlockSpec((tb, N_OUT, P),
@@ -719,8 +771,8 @@ def _blend_exact_bwd(interpret, tiles_x, tb, mesh, axis, t_mod, res, g_out):
             _make_bwd_kernel_exact(tiles_x, tb, nprog, t_mod), grid=(nprog,),
             in_specs=[meta_spec, rev_attrs, bg_spec, rev_out, rev_out],
             out_specs=rev_attrs,
-            out_shape=jax.ShapeDtypeStruct((nvl, N_CH, k_cap), attrs.dtype),
-            scratch_shapes=[pltpu.VMEM((P, 9), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((nvl, k_cap, N_CH), attrs.dtype),
+            scratch_shapes=[pltpu.VMEM((2, P), jnp.float32)],
             interpret=interpret,
         )(meta_l, attrs_l, bg_l, saved_l, g_l)
 
@@ -874,12 +926,13 @@ def _blocked_cumsum_rows(rows: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return (within + offsets[:, None, :]).reshape(m + pad, c)[:m]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_pack(grad_sort: str, attrs_n: jnp.ndarray,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_pack(grad_sort: str, pair_major: bool, attrs_n: jnp.ndarray,
                  gather: jnp.ndarray,
                  seg_pos: jnp.ndarray) -> jnp.ndarray:
     """``swapaxes(attrs_n[gather], 1, 2)`` ([N, C] -> [T, C, K]) with a
-    sort-based segment-reduction VJP.
+    sort-based segment-reduction VJP.  ``pair_major=True`` (the transposed
+    exact kernels) skips the swap — output AND cotangent ride [T, K, C].
 
     XLA's native VJP is a 393k-row random scatter-add -- row-latency bound
     (~6-7 ms at 512x512/32k on v5e regardless of row width), and its
@@ -918,11 +971,12 @@ def _gather_pack(grad_sort: str, attrs_n: jnp.ndarray,
     network's sequential-access merges (~2 ms total, round-3 on-chip
     trace).  Equal-key pair order is unspecified, but a fixed compiled sort
     network makes the summation order deterministic run-to-run."""
-    return jnp.swapaxes(attrs_n[gather], 1, 2)
+    out = attrs_n[gather]
+    return out if pair_major else jnp.swapaxes(out, 1, 2)
 
 
-def _gather_pack_fwd(grad_sort, attrs_n, gather, seg_pos):
-    return (_gather_pack(grad_sort, attrs_n, gather, seg_pos),
+def _gather_pack_fwd(grad_sort, pair_major, attrs_n, gather, seg_pos):
+    return (_gather_pack(grad_sort, pair_major, attrs_n, gather, seg_pos),
             (gather, seg_pos, attrs_n.shape[0]))
 
 
@@ -943,9 +997,15 @@ def _unpack2(w):
     return hi, lo
 
 
-def _gather_pack_bwd(grad_sort, res, d):
+def _gather_pack_bwd(grad_sort, pair_major, res, d):
     gather, seg_pos, n = res
-    t, c, k = d.shape
+    if pair_major:
+        t, k, c = d.shape
+        d2 = d.reshape(t * k, c)
+        chan = lambda j: d2[:, j]
+    else:
+        t, c, k = d.shape
+        chan = lambda j: d[:, j, :].reshape(t * k)
     p = t * k
     use_counts = seg_pos.shape[0] > 1
     ids = gather.reshape(p)
@@ -954,7 +1014,7 @@ def _gather_pack_bwd(grad_sort, res, d):
         # slots carry the sentinel id n and land past every segment); the
         # per-rank boundaries are seg_pos.
         keys = ids
-        chans = tuple(d[:, j, :].reshape(p) for j in range(c))
+        chans = tuple(chan(j) for j in range(c))
         nq = 0
     else:
         nq = n + 1
@@ -964,7 +1024,7 @@ def _gather_pack_bwd(grad_sort, res, d):
             [ids * 2 + 1, jnp.arange(nq, dtype=jnp.int32) * 2])
         zq = jnp.zeros((nq,), d.dtype)
         chans = tuple(
-            jnp.concatenate([d[:, j, :].reshape(p), zq]) for j in range(c))
+            jnp.concatenate([chan(j), zq]) for j in range(c))
     if grad_sort == "bf16" and c % 2 == 0:
         ops = (keys,) + tuple(_pack2(chans[2 * i], chans[2 * i + 1])
                               for i in range(c // 2))
@@ -1011,7 +1071,7 @@ _gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
 
 def pack_gather_attrs(gather, mean2d, conic, color, opacity,
                       inv_depth, dtype=jnp.float32, order=None, rank=None,
-                      grad_sort="f32", seg_pos=None):
+                      grad_sort="f32", seg_pos=None, pair_major=False):
     """[N,·] attributes + [T,K] gather table → packed channel-major
     [T, 10, K] kernel input.
 
@@ -1036,7 +1096,8 @@ def pack_gather_attrs(gather, mean2d, conic, color, opacity,
         attrs_n = permute_rows(attrs_n, order, rank)
     if seg_pos is None:
         seg_pos = jnp.zeros((1,), jnp.int32)              # query-row scheme
-    return _gather_pack(grad_sort, attrs_n, gather, seg_pos)  # [T, 10, K]
+    # [T, 10, K] channel-major, or [T, K, 10] pair-major (exact kernels).
+    return _gather_pack(grad_sort, pair_major, attrs_n, gather, seg_pos)
 
 
 def blend_tiles_pallas(
@@ -1067,11 +1128,12 @@ def blend_tiles_pallas(
     # Pack attributes per Gaussian FIRST ([N,16] rows), then ONE gather +
     # transpose — an order of magnitude cheaper than 11 separate [T,K]
     # gathers stacked on the channel axis (measured 27→15 ms fwd at
-    # 512²/32k on v5e).
+    # 512²/32k on v5e).  The exact kernels read PAIR-major [T_v, K, 10].
     attrs = pack_gather_attrs(bins.gather, mean2d, conic, color,
                               opacity, inv_depth, dtype=attr_dtype,
                               order=bins.order, rank=bins.rank,
-                              grad_sort=grad_sort, seg_pos=bins.seg_pos)
+                              grad_sort=grad_sort, seg_pos=bins.seg_pos,
+                              pair_major=bins.t_of_v is not None)
 
     interp = _interpret_default() if interpret is None else interpret
 

@@ -130,7 +130,8 @@ def _rasterize_tile_sharded_exact(proj, h, w, bg, mesh, config, interpret):
     attrs = pack_gather_attrs(
         bins.gather, proj.mean2d, proj.conic, proj.color, proj.opacity,
         proj.inv_depth, order=bins.order, rank=bins.rank,
-        grad_sort=config.grad_sort, seg_pos=bins.seg_pos)  # [T_v, 10, K]
+        grad_sort=config.grad_sort, seg_pos=bins.seg_pos,
+        pair_major=True)                                   # [T_v, K, 10]
 
     t_safe = jnp.minimum(bins.t_of_v, t_total - 1)
     is_last = ((bins.t_of_v >= t_total)

@@ -196,7 +196,8 @@ def _rasterize_batch_exact(projs, h, w, bgs, mesh, axes, n_shards, cfg,
         attrs_l.append(pack_gather_attrs(
             bins.gather, proj.mean2d, proj.conic, proj.color, proj.opacity,
             proj.inv_depth, order=bins.order, rank=bins.rank,
-            grad_sort=cfg.grad_sort, seg_pos=bins.seg_pos))
+            grad_sort=cfg.grad_sort, seg_pos=bins.seg_pos,
+            pair_major=True))
         t_v = bins.t_of_v.shape[0]
         tpp = t_v - extra                     # shard-padded real-tile count
         used = bins.t_of_v < tpp
