@@ -1025,7 +1025,22 @@ def _gather_pack_bwd(grad_sort, pair_major, res, d):
         zq = jnp.zeros((nq,), d.dtype)
         chans = tuple(
             jnp.concatenate([chan(j), zq]) for j in range(c))
-    if grad_sort == "bf16" and c % 2 == 0:
+    if grad_sort == "bf16" and c % 2 == 0 and pair_major and use_counts:
+        # Pair-major cotangents pack channel PAIRS by BITCAST of adjacent
+        # bf16 elements ([p, C] -> bf16 -> view [p, C/2] uint32): one
+        # contiguous convert instead of C strided column slices +
+        # shift/or packing (the columns of the half-width uint32 view are
+        # the only strided reads left).  Little-endian: element 2i rides
+        # the LOW 16 bits.
+        db = d2.astype(jnp.bfloat16).reshape(p, c // 2, 2)
+        packed32 = jax.lax.bitcast_convert_type(db, jnp.uint32)  # [p, C/2]
+        ops = (keys,) + tuple(packed32[:, i] for i in range(c // 2))
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        ch_list = []
+        for w in out[1:]:
+            hi, lo = _unpack2(w)
+            ch_list += [lo.astype(jnp.float32), hi.astype(jnp.float32)]
+    elif grad_sort == "bf16" and c % 2 == 0:
         ops = (keys,) + tuple(_pack2(chans[2 * i], chans[2 * i + 1])
                               for i in range(c // 2))
         out = jax.lax.sort(ops, num_keys=1, is_stable=False)

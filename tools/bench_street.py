@@ -54,6 +54,10 @@ def main() -> None:
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--stats-only", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default="",
+                    help="also append the result line to this file "
+                         "(BENCH_street.json — the committed street-scale "
+                         "evidence artifact, VERDICT r4 item 6)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -160,19 +164,27 @@ def main() -> None:
 
     step_ms = best / args.iters * 1e3
     rays_s = h * w * args.iters / best
-    print(json.dumps({
+    line = json.dumps({
         "metric": "street_fwd_bwd_rays_per_s",
         "value": round(rays_s, 1),
         "unit": "rays/s/chip",
+        "vs_baseline": round(rays_s / 15e6, 3),
         "step_ms": round(step_ms, 2),
         "config": {"n": args.n, "res": f"{args.width}x{args.height}",
+                   "cameras": args.cameras,
                    "max_dup": args.max_dup, "K": args.tile_capacity,
                    "vis_cap": args.vis_capacity, "method": args.method,
                    "grad_sort": args.grad_sort,
                    "exact_extra": args.exact_extra,
-                   "grad_reduce": args.grad_reduce},
+                   "grad_reduce": args.grad_reduce,
+                   "two_level": bool(args.two_level),
+                   "dup_overscan": args.dup_overscan},
         "pairs": int(s["pairs"]), "visible": int(s["n_visible"]),
-    }))
+    })
+    print(line)
+    if args.json:
+        with open(args.json, "a") as f:
+            f.write(line + "\n")
 
     if args.profile:
         from street_sparse_3dgs_tpu.profiling import (print_summary,
