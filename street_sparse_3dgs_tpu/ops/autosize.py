@@ -158,7 +158,8 @@ def autosize_raster(means3d, scales, quats, opacities, sh_coeffs, cameras,
                     scan_cap: int = 64, probe_rows: int = 16384,
                     probe_scan: int = 1024, margin: float = 1.25,
                     shards: int = 1, active_mask=None,
-                    max_views: int = 8) -> ExactKnobs:
+                    max_views: int = 8, scan_cap_max: int | None = None,
+                    dup_tol: float = 1e-3) -> ExactKnobs:
     """Derive exact-mode knobs from up to ``max_views`` sampled cameras.
 
     Returns knobs sized so every sampled view binds with zero window
@@ -206,23 +207,38 @@ def autosize_raster(means3d, scales, quats, opacities, sh_coeffs, cameras,
         pos = cov_envelope[cov_envelope > 0]
         p50 = int(np.median(pos)) if len(pos) else 2
         max_dup = min(16, max(2, _ceil_pow2(p50)))
-    overscan_best, tails_best = derive_ladder(
-        kept_envelope, cov_envelope, max_dup, scan_cap, margin)
 
-    # Second pass: per-tile counts under the derived ladder → window budget.
-    @jax.jit
-    def view_stats(proj):
-        bins = bin_gaussians(proj, height, width, max_dup, tile_capacity,
-                             dup_tails=tails_best,
-                             dup_overscan=overscan_best)
-        need = jnp.sum(jnp.maximum(
-            -(-bins.counts // tile_capacity), 1)) - t_total
-        return need, bins.dup_overflow
+    # Escalating scan window: an un-converged model (sparse init, large
+    # splats) can need far more rect positions than the converged street
+    # profile — double scan_cap until the measured emission overflow is
+    # ≤ ``dup_tol`` of the binned pairs (or the memory-bound
+    # ``scan_cap_max`` is hit; the [capacity, S] emission arrays grow with
+    # S, so callers bound it by live capacity).
+    if scan_cap_max is None:
+        scan_cap_max = scan_cap
+    while True:
+        overscan_best, tails_best = derive_ladder(
+            kept_envelope, cov_envelope, max_dup, scan_cap, margin)
 
-    for _, _, proj in ladder_inputs:
-        need, dup_of = jax.device_get(view_stats(proj))
-        extras_worst = max(extras_worst, int(need))
-        dup_of_worst = max(dup_of_worst, int(dup_of))
+        def view_stats(proj, md=max_dup, tails=tails_best,
+                       osc=overscan_best):
+            bins = bin_gaussians(proj, height, width, md, tile_capacity,
+                                 dup_tails=tails, dup_overscan=osc)
+            need = jnp.sum(jnp.maximum(
+                -(-bins.counts // tile_capacity), 1)) - t_total
+            return need, bins.dup_overflow, jnp.sum(bins.counts)
+
+        view_stats = jax.jit(view_stats)
+        extras_worst = dup_of_worst = 0
+        pairs_worst = 1
+        for _, _, proj in ladder_inputs:
+            need, dup_of, pairs = jax.device_get(view_stats(proj))
+            extras_worst = max(extras_worst, int(need))
+            dup_of_worst = max(dup_of_worst, int(dup_of))
+            pairs_worst = max(pairs_worst, int(pairs))
+        if dup_of_worst <= dup_tol * pairs_worst or scan_cap >= scan_cap_max:
+            break
+        scan_cap = min(scan_cap * 2, scan_cap_max)
 
     unit = 128 * shards
     exact_extra = -(-max(int(math.ceil(extras_worst * margin)), unit)

@@ -108,11 +108,14 @@ def autosize_pipeline(pipe: PipelineConfig, state: TrainState,
     if not sample:
         raise ValueError("autosize: empty batch stream")
     cams = [b.camera for b in sample]
+    # Scan-window escalation bound: the [capacity, S] emission arrays must
+    # stay well under HBM (~1 GB per array at 2^28 elements).
+    cap_max = int(min(256, max(32, (1 << 28) // meta.capacity)))
     knobs = autosize_raster(
         state.params.xyz, activate_scales(state.params), state.params.quats,
         activate_opacity(state.params, meta), sh_coeffs(state.params), cams,
         meta.sh_degree, cams[0].height, cams[0].width, pipe.tile_capacity,
-        max_dup=0, active_mask=state.active)
+        max_dup=0, active_mask=state.active, scan_cap_max=cap_max)
     print(f"  autosized exact mode: max_dup={knobs.max_dup} "
           f"overscan={knobs.dup_overscan} tails={knobs.dup_tails} "
           f"exact_extra={knobs.exact_extra} "
@@ -163,12 +166,14 @@ def train_loop(
 
     from ..utils import EmaMeter
 
-    if pipe.raster_method == "pallas" and pipe.exact_extra == -1:
+    auto_mode = pipe.raster_method == "pallas" and pipe.exact_extra == -1
+    if auto_mode:
         # Self-sizing exact mode (VERDICT r4 item 2): derive the emission
         # ladder and window budget from binning statistics over sample
         # views — zero hand-set exact knobs, like the reference's
         # dynamically-sized rasterizer.  Drift past the margin during
-        # training is caught by the overflow check below.
+        # training is caught by the overflow check below and by the
+        # re-autosize at capacity growths.
         pipe = autosize_pipeline(pipe, state, meta, batches)
 
     ema = EmaMeter()
@@ -313,6 +318,12 @@ def train_loop(
                 state, meta = grow_capacity(
                     state, meta, max(meta.capacity * 2,
                                      meta.capacity + int(overflow)))
+                if auto_mode:
+                    # Densification changed the splat-size distribution
+                    # (and the capacity bound on the scan window): refresh
+                    # the measured emission/window knobs with the grown
+                    # model before re-jitting.
+                    pipe = autosize_pipeline(pipe, state, meta, batches)
                 step_photo = build_photo_step(meta)
                 step_depth = None
             stats["n_active"].append(int(n_active))
