@@ -74,7 +74,7 @@ def rasterize_tile_sharded(
     attrs = pack_gather_attrs(g, proj.mean2d, proj.conic,
                               proj.color, proj.opacity, proj.inv_depth,
                               order=bins.order,
-                              rank=bins.rank)           # [T_pad, 10, K]
+                              rank=bins.rank)           # [T_pad, 10, K] (padded kernels)
 
     interp = _interpret_default() if interpret is None else interpret
     t_local = (t_total + pad_t) // n_shards

@@ -217,7 +217,7 @@ def _rasterize_batch_exact(projs, h, w, bgs, mesh, axes, n_shards, cfg,
         lastv_l.append(i * t_v + lastv_full)
         bins_list.append(bins)
 
-    attrs = jnp.concatenate(attrs_l, axis=0)          # [B·T_v, 10, K]
+    attrs = jnp.concatenate(attrs_l, axis=0)          # [B·T_v, K, 10]
     meta = jnp.concatenate(meta_l, axis=1)            # [4, B·T_v]
     last_v = jnp.concatenate(lastv_l)                 # [B·tpp]
     n_local = (b * t_v) // n_shards
