@@ -240,6 +240,31 @@ def _slab_gather(sorted_vals: jnp.ndarray, starts: jnp.ndarray,
     return out[:t].reshape(t, k_cap)
 
 
+# Above this sorted-array length the per-tile boundary probes run as the
+# two-level sampled search below instead of XLA's searchsorted (a while
+# loop of serial probe fusions — 2.6 ms at the street scale's 4M keys).
+SAMPLED_SEARCH_MIN_ROWS = 262_144
+
+
+def _sampled_searchsorted(vals: jnp.ndarray, probes: jnp.ndarray,
+                          interpret: bool, block: int = 1024) -> jnp.ndarray:
+    """``searchsorted(vals, probes, side='left')`` for a long sorted
+    ``vals`` and few ``probes``: coarse-search a ``block``-strided sample
+    (broadcast compare+count — probes × n/block elements), slab-DMA each
+    probe's candidate window (starts are block-aligned, so ``_slab_gather``
+    needs no funnel shift), and count in-window elements < probe."""
+    n = vals.shape[0]
+    coarse = vals[::block]                               # [ceil(n/block)]
+    c = jnp.sum((coarse[None, :] < probes[:, None]).astype(jnp.int32),
+                axis=1)                                  # #coarse < probe
+    starts = jnp.maximum(c - 1, 0) * block
+    win = _slab_gather(vals, starts.astype(jnp.int32), block, interpret)
+    pos = starts[:, None] + jnp.arange(block, dtype=jnp.int32)[None, :]
+    cnt = jnp.sum(((win < probes[:, None]) & (pos < n)).astype(jnp.int32),
+                  axis=1)
+    return (starts + cnt).astype(jnp.int32)
+
+
 def _tile_qmin(mean2d, conic, tile_x, tile_y):
     """Minimum of the Mahalanobis form Q(d) = a·dx² + 2b·dx·dy + c·dy²
     over a tile's pixel box, per (gaussian, covered-tile) pair [N, D].
@@ -517,7 +542,12 @@ def bin_gaussians(proj: Projected, height: int, width: int,
                       << rank_bits)
         sorted_vals = jax.lax.sort((packed,), num_keys=1,
                                    is_stable=False)[0]
-        boundaries = jnp.searchsorted(sorted_vals, probes).astype(jnp.int32)
+        if (jax.default_backend() == "tpu"
+                and sorted_vals.shape[0] >= SAMPLED_SEARCH_MIN_ROWS):
+            boundaries = _sampled_searchsorted(sorted_vals, probes, False)
+        else:
+            boundaries = jnp.searchsorted(sorted_vals,
+                                          probes).astype(jnp.int32)
         # Ranks unpack AFTER the [T, K] table gather (393k elements instead
         # of the full pair list).
         extract = lambda table: (

@@ -223,5 +223,8 @@ def test_camera_stream_prefetch_order_and_overlap(tmp_path, monkeypatch):
         n += 1
     dt = time.perf_counter() - t0
     assert n == 8
-    # serial would be 8*(60+30) = 720 ms; overlapped ~ 8*30 + 2*60 = 360 ms.
-    assert dt < 0.60, f"prefetch failed to overlap loads: {dt:.3f}s"
+    # Serial would be 8*(60+30) = 720 ms; overlapped ~ 8*30 + 2*60 = 360 ms.
+    # Threshold sits at serial − 2 load slots so scheduler jitter under a
+    # loaded CI host (4-way pytest + background jobs) cannot flake it
+    # while a true non-overlapping regression (≥ 720 ms) still fails.
+    assert dt < 0.66, f"prefetch failed to overlap loads: {dt:.3f}s"

@@ -318,3 +318,60 @@ def test_fork_features_project_loads(tmp_path):
     d = load_camera_arrays(donly[0], resolution=1)
     assert d["is_depth_only"] and d["gt_image"].max() == 0.0
     assert d["depth_reliable"] and d["mono_invdepth"].max() > 0
+
+
+@pytest.mark.slow
+def test_fork_features_ab_improves_quality(tmp_path):
+    """VERDICT r4 item 3: the fork's signature features (LiDAR chunk init,
+    decayed mono-depth L1, depth-only virtual cameras, alpha masks over
+    per-view corruption, GT-cloud pruning) COMPOSING in one 5-stage run
+    must measurably beat the same scene without them — photometrically AND
+    on the depth metrics.  CPU-measured anchors (deterministic seeds,
+    tiled path): OFF 16.00 dB / iMAE 0.506, ON 19.18 dB / iMAE 0.401
+    (BASELINE.md round 5); margins sit well inside the +3.2 dB / −0.105
+    measured gaps."""
+    from street_sparse_3dgs_tpu.data.scene import load_scene_info
+
+    opt = OptimizationConfig(
+        iterations=800, densification_interval=100, densify_from_iter=200,
+        densify_until_iter=600, opacity_reset_interval=10_000,
+        position_lr_init=2e-4, position_lr_final=2e-6,
+        densify_grad_threshold=2e-4)
+    pipe = PipelineConfig(tile_capacity=512)
+
+    res = {}
+    for arm in ("off", "on"):
+        d = tmp_path / arm
+        d.mkdir(parents=True)
+        proj = make_project(d, n=400, n_views=16, with_depths=True,
+                            depth_cams=6, with_masks=True,
+                            lidar=(arm == "on"), with_gt_cloud=True,
+                            sfm_keep=0.3, sfm_noise=0.05)
+        if arm == "on":
+            mc = ModelConfig(eval=True, resolution=1,
+                             additional_depth_maps=True,
+                             gt_point_cloud_constraints=True,
+                             constraint_treshold=0.15)
+        else:
+            mc = ModelConfig(eval=True, resolution=1, depths="no_depths",
+                             alpha_masks="no_masks")
+        merged = full_train(proj.project_dir, mc, opt, pipe,
+                            skip_if_exists=True, coarse_iterations=200,
+                            chunk_iterations=800, post_iterations=300,
+                            skybox_num=500)
+        assert merged is not None
+        h = load_hierarchy(proj.output_dir / "merged.hier.npz")
+        emc = ModelConfig(eval=True, resolution=1,
+                          images=str(proj.images_dir),
+                          depths=str(proj.depths_dir))
+        res[arm] = render_hierarchy_eval(h, str(proj.colmap_dir), emc, pipe,
+                                         taus=(0.0,), with_lpips=False)[0.0]
+        print(f"fork-features arm {arm}:",
+              {k: round(v, 4) for k, v in res[arm].items()
+               if isinstance(v, float)})
+
+    on, off = res["on"], res["off"]
+    assert on["psnr"] >= 17.5, res
+    assert on["psnr"] >= off["psnr"] + 1.0, res
+    assert on["imae"] <= off["imae"] - 0.03, res
+    assert on["irmse"] <= off["irmse"] - 0.03, res

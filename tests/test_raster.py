@@ -432,3 +432,21 @@ class TestPermuteRowsSortPath:
         (gx_ref,) = vjp_ref(cot)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_sampled_searchsorted_matches_searchsorted():
+    """The two-level slab-DMA boundary search (used on TPU past
+    SAMPLED_SEARCH_MIN_ROWS) must equal jnp.searchsorted(side='left'),
+    including duplicate values, probes at/past both ends, and the
+    non-multiple-of-block tail."""
+    from street_sparse_3dgs_tpu.ops.binning import _sampled_searchsorted
+
+    rng = np.random.default_rng(0)
+    vals = np.sort(rng.integers(0, 5000, size=5003).astype(np.int32))
+    probes = np.concatenate([
+        np.arange(0, 5200, 97, dtype=np.int32), [0, 4999, 5000, 6000],
+        vals[::701]]).astype(np.int32)
+    got = _sampled_searchsorted(jnp.asarray(vals), jnp.asarray(probes),
+                                interpret=True, block=256)
+    want = np.searchsorted(vals, probes, side="left")
+    np.testing.assert_array_equal(np.asarray(got), want)
