@@ -30,7 +30,12 @@ from street_sparse_3dgs_tpu.train.loop import train_loop
 from street_sparse_3dgs_tpu.train.step import CameraBatch, init_state
 
 RES = 96
-PSNR_FLOOR = 20.0      # measured 24.95 @ 1.5k iters (tile_capacity 600)
+# Anchored to the measured 24.95 @ 1.5k iters (tile_capacity 600; CPU runs
+# are seed-deterministic, so 1.45 dB of margin absorbs library drift while
+# a >=1.5 dB quality regression fires — VERDICT r4 item 7; the old 20.0
+# floor needed a 5 dB collapse).  The on-TPU pallas-exact anchor for the
+# same flow is 25.8-26.9 (run-to-run sigma ~1.5 dB, tools/convergence_tpu).
+PSNR_FLOOR = 23.5
 
 
 def oracle_gt_2x(scene, cam_hi):

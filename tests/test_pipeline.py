@@ -223,7 +223,15 @@ def make_project(tmp_path, n=400, n_views=16, width=None, height=None,
     return proj
 
 
-PSNR_FLOOR_TAU0 = 18.0
+# Anchored to the MEASURED CPU value of this exact fixture (held-out tau0
+# 19.71, train 19.87 — deterministic seeds, round-5 calibration run; the
+# on-TPU pallas pipeline measures 18.46 on its own larger flavor,
+# BASELINE.md).  0.8 dB of margin: a 1 dB regression fires, library-drift
+# noise (CPU runs are seed-deterministic) does not.  VERDICT r4 item 7 —
+# the old floor (18.0) sat 1.7 dB under the anchor and could never fire
+# before quality was already badly broken.
+PSNR_FLOOR_TAU0 = 18.9
+PSNR_ANCHOR_TAU0 = 19.71
 
 
 @pytest.mark.slow
