@@ -208,6 +208,13 @@ def main() -> None:
             activate_opacity, activate_scales, sh_coeffs)
         from street_sparse_3dgs_tpu.train.step import raster_config
 
+        if pipe.exact_extra < 0:
+            # Re-invocation after completion: no slice ran, so the -1
+            # sentinel was never resolved — autosize for the render.
+            from street_sparse_3dgs_tpu.train.loop import autosize_pipeline
+
+            pipe = autosize_pipeline(pipe, state, meta, batches)
+
         cfg = raster_config(pipe)
         psnrs = []
         for b in batches[:4]:
