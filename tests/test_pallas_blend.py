@@ -424,3 +424,37 @@ def test_counts_reduce_requires_exact_mode():
                   s.cameras[0], 3, jnp.zeros(3),
                   RasterConfig(method="pallas", grad_reduce="counts",
                                tile_capacity=128))
+
+
+def test_exact_counts_bf16_bitcast_pack_bounded_deviation():
+    """The pair-major counts-mode bf16 path packs channel pairs by BITCAST
+    of adjacent bf16 lanes (round 5) — a different code path from the
+    shift/or packer the padded path uses.  Forward bit-identical; grads
+    within the documented per-pair bf16 rounding band of the f32 counts
+    scheme."""
+    s = _dense_scene()
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    def run(cfg):
+        def loss(m, sc):
+            out = rasterize(m, sc, s.quats, s.opacities, s.sh_coeffs,
+                            s.cameras[0], 3, bg, cfg)
+            return jnp.mean(out["render"] ** 2) + 0.1 * jnp.mean(
+                out["depth"]), out["render"]
+
+        (_, img), g = jax.value_and_grad(loss, argnums=(0, 1),
+                                         has_aux=True)(s.means3d, s.scales)
+        return np.asarray(img), [np.asarray(x) for x in g]
+
+    base = dict(method="pallas", tile_capacity=128, max_dup=4,
+                exact_extra=64, grad_reduce="counts")
+    img32, g32 = run(RasterConfig(**base))
+    img16, g16 = run(RasterConfig(**base, grad_sort="bf16"))
+    np.testing.assert_array_equal(img32, img16)
+    for a, b in zip(g32, g16):
+        gn = np.linalg.norm(a, axis=-1) if a.ndim > 1 else np.abs(a)
+        mask = gn > 1e-6
+        rel = (np.abs(a - b).max(axis=-1) if a.ndim > 1
+               else np.abs(a - b))[mask] / (gn[mask] + 1e-12)
+        assert np.median(rel) < 0.02
+        assert np.all(np.isfinite(b))
